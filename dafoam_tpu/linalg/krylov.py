@@ -1,0 +1,258 @@
+"""Matrix-free Krylov solvers, fully device-resident (lax.while_loop).
+
+Replaces both OpenFOAM's lduMatrix solvers (PBiCGStab/PCG/GAMG used by the
+reference's primal, e.g. pEqnSimple.H pEqn.solve()) and the PETSc GMRES+ASM
+/ILU stack used for the adjoint (reference
+src/adjoint/DALinearEqn/DALinearEqn.C:28-341). All solvers:
+
+- work on arbitrary pytrees (momentum solves carry (nc,3), adjoint solves
+  carry the full state pytree);
+- take ``matvec`` and optional left/right preconditioner callables;
+- never sync to host: convergence checks are traced (`lax.while_loop`), so
+  the whole primal/adjoint pipeline stays one XLA program.
+
+Under SPMD sharding, the dot products here become ``psum`` automatically
+when run inside shard_map / with sharded inputs — the TPU equivalent of
+PETSc's distributed Vec dots (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+
+class SolveInfo(NamedTuple):
+    iters: jnp.ndarray
+    resid0: jnp.ndarray
+    resid: jnp.ndarray
+    converged: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# pytree vector helpers
+# ---------------------------------------------------------------------------
+
+def _tmap(f, *ts):
+    return jax.tree_util.tree_map(f, *ts)
+
+
+def tdot(a, b):
+    leaves = jax.tree_util.tree_leaves(_tmap(lambda x, y: jnp.sum(x * y), a, b))
+    return functools.reduce(jnp.add, leaves)
+
+
+def tnorm(a):
+    return jnp.sqrt(tdot(a, a))
+
+
+def taxpy(alpha, x, y):
+    return _tmap(lambda xi, yi: alpha * xi + yi, x, y)
+
+
+def tscale(alpha, x):
+    return _tmap(lambda xi: alpha * xi, x)
+
+
+def tzeros_like(x):
+    return _tmap(jnp.zeros_like, x)
+
+
+def _identity(x):
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Conjugate Gradient (SPD systems: pressure Poisson)
+# ---------------------------------------------------------------------------
+
+def cg(matvec: Callable, b, x0=None, precond: Callable | None = None,
+       rel_tol=1e-6, abs_tol=1e-50, max_iters=500):
+    precond = precond or _identity
+    x = tzeros_like(b) if x0 is None else x0
+    r = _tmap(lambda bi, ax: bi - ax, b, matvec(x))
+    z = precond(r)
+    p = z
+    rz = tdot(r, z)
+    r0 = tnorm(r)
+    tol = jnp.maximum(rel_tol * r0, abs_tol)
+
+    def cond(s):
+        x, r, z, p, rz, it = s
+        return jnp.logical_and(it < max_iters, tnorm(r) > tol)
+
+    def body(s):
+        x, r, z, p, rz, it = s
+        ap = matvec(p)
+        alpha = rz / jnp.maximum(tdot(p, ap), 1e-300)
+        x = taxpy(alpha, p, x)
+        r = taxpy(-alpha, ap, r)
+        z = precond(r)
+        rz_new = tdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        p = taxpy(beta, p, z)
+        return x, r, z, p, rz_new, it + 1
+
+    x, r, z, p, rz, it = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, jnp.asarray(0)))
+    rn = tnorm(r)
+    return x, SolveInfo(it, r0, rn, rn <= tol)
+
+
+# ---------------------------------------------------------------------------
+# BiCGStab (non-symmetric: momentum / turbulence transport)
+# ---------------------------------------------------------------------------
+
+def bicgstab(matvec: Callable, b, x0=None, precond: Callable | None = None,
+             rel_tol=1e-6, abs_tol=1e-50, max_iters=200):
+    precond = precond or _identity
+    x = tzeros_like(b) if x0 is None else x0
+    r = _tmap(lambda bi, ax: bi - ax, b, matvec(x))
+    rhat = r
+    r0n = tnorm(r)
+    tol = jnp.maximum(rel_tol * r0n, abs_tol)
+    one = jnp.asarray(1.0, dtype=r0n.dtype)
+    state = (x, r, r, r, one, one, one, jnp.asarray(0), jnp.asarray(True))
+    # state: x, r, p, v, rho, alpha, omega, it, first
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, it, first = s
+        return jnp.logical_and(it < max_iters, tnorm(r) > tol)
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, it, first = s
+        rho_new = tdot(rhat, r)
+        beta = (rho_new / jnp.where(jnp.abs(rho) > 0, rho, 1e-300)) * \
+               (alpha / jnp.where(jnp.abs(omega) > 0, omega, 1e-300))
+        p = jax.lax.cond(
+            first,
+            lambda _: r,
+            lambda _: _tmap(lambda ri, pi, vi: ri + beta * (pi - omega * vi),
+                            r, p, v),
+            None)
+        phat = precond(p)
+        v = matvec(phat)
+        alpha = rho_new / jnp.where(jnp.abs(tdot(rhat, v)) > 0,
+                                    tdot(rhat, v), 1e-300)
+        s_vec = taxpy(-alpha, v, r)
+        shat = precond(s_vec)
+        t = matvec(shat)
+        tt = tdot(t, t)
+        omega = tdot(t, s_vec) / jnp.where(tt > 0, tt, 1e-300)
+        x = _tmap(lambda xi, ph, sh: xi + alpha * ph + omega * sh, x, phat, shat)
+        r = taxpy(-omega, t, s_vec)
+        return x, r, p, v, rho_new, alpha, omega, it + 1, jnp.asarray(False)
+
+    out = jax.lax.while_loop(cond, body, state)
+    x, r = out[0], out[1]
+    it = out[7]
+    rn = tnorm(r)
+    return x, SolveInfo(it, r0n, rn, rn <= tol)
+
+
+# ---------------------------------------------------------------------------
+# Restarted GMRES (the adjoint linear solver)
+# ---------------------------------------------------------------------------
+
+def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
+          restart=60, rel_tol=1e-6, abs_tol=1e-14, max_iters=1000):
+    """Right-preconditioned restarted GMRES on a pytree vector.
+
+    Matches the role of the reference's KSPGMRES setup
+    (DALinearEqn.C:28 createMLRKSP: relTol/absTol/restart/maxIters from
+    `adjEqnOption`, right PC side). The Krylov basis is stored as a stacked
+    flat matrix for MXU-friendly orthogonalization.
+    """
+    precond = precond or _identity
+    flat_b, unravel = jax.flatten_util.ravel_pytree(b)
+    n = flat_b.shape[0]
+    dtype = flat_b.dtype
+
+    def mv_flat(u):
+        return jax.flatten_util.ravel_pytree(
+            matvec(precond(unravel(u))))[0]
+
+    x = jnp.zeros_like(flat_b) if x0 is None else \
+        jax.flatten_util.ravel_pytree(x0)[0]
+
+    bnorm = jnp.linalg.norm(flat_b)
+    tol = jnp.maximum(rel_tol * bnorm, abs_tol)
+    m = restart
+
+    def arnoldi_cycle(x):
+        r = flat_b - mv_flat(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        cs = jnp.zeros((m,), dtype=dtype)
+        sn = jnp.zeros((m,), dtype=dtype)
+        g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+
+        def body(j, carry):
+            V, H, cs, sn, g, done = carry
+            return jax.lax.cond(done, lambda c: c, lambda c: _step(j, c),
+                                (V, H, cs, sn, g, done))
+
+        def _step(j, carry):
+            V, H, cs, sn, g, done = carry
+            w = mv_flat(V[j])
+            # modified Gram-Schmidt (two-pass for stability): MXU matvec
+            h = V @ w                      # (m+1,) only first j+1 meaningful
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = h * mask
+            w = w - V.T @ h
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h + h2
+            hj1 = jnp.linalg.norm(w)
+            H = H.at[:, j].set(h)
+            H = H.at[j + 1, j].set(hj1)
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
+
+            # apply accumulated Givens rotations to column j
+            def rot(i, col):
+                t0 = cs[i] * col[i] + sn[i] * col[i + 1]
+                t1 = -sn[i] * col[i] + cs[i] * col[i + 1]
+                return col.at[i].set(t0).at[i + 1].set(t1)
+            col = jax.lax.fori_loop(0, j, rot, H[:, j])
+            denom = jnp.sqrt(col[j] ** 2 + hj1 ** 2)
+            c_new = col[j] / jnp.maximum(denom, 1e-300)
+            s_new = hj1 / jnp.maximum(denom, 1e-300)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            col = col.at[j].set(denom).at[j + 1].set(0.0)
+            H = H.at[:, j].set(col)
+            g = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+            done = jnp.abs(g[j + 1]) <= tol
+            return V, H, cs, sn, g, done
+
+        V, H, cs, sn, g, done = jax.lax.fori_loop(
+            0, m, body, (V, H, cs, sn, g, jnp.asarray(False)))
+
+        # back-substitute y from H y = g (upper triangular m x m)
+        Hm = H[:m, :m] + jnp.eye(m, dtype=dtype) * 1e-300
+        y = jax.scipy.linalg.solve_triangular(Hm, g[:m], lower=False)
+        x = x + V[:m].T @ y
+        return x, jnp.abs(g[m]), done
+
+    def cond(s):
+        x, res, it, done = s
+        return jnp.logical_and(it * m < max_iters, jnp.logical_not(done))
+
+    def body(s):
+        x, res, it, done = s
+        x, res, done = arnoldi_cycle(x)
+        return x, res, it + 1, res <= tol
+
+    r0 = jnp.linalg.norm(flat_b - mv_flat(x))
+    x, res, it, done = jax.lax.while_loop(
+        cond, body, (x, r0, jnp.asarray(0), r0 <= tol))
+
+    sol = precond(unravel(x))
+    return sol, SolveInfo(it * m, r0, res, res <= tol)

@@ -1,0 +1,207 @@
+"""Static unstructured-mesh topology.
+
+The reference delegates mesh handling to OpenFOAM's ``fvMesh`` (polyMesh:
+points / faces / owner / neighbour / boundary). Here topology is a set of
+STATIC integer arrays (plain numpy, never traced by JAX) so every jitted
+program sees fixed shapes; geometry (areas, volumes, centres, weights) is a
+pure JAX function of the point coordinates (``dafoam_tpu.mesh.geometry``) so
+``d(residual)/d(volume coords)`` comes out of ``jax.vjp`` for free — the
+reference needs its differentiated OpenFOAM fork for this.
+
+Face conventions follow OpenFOAM (reference relies on them throughout, e.g.
+src/adjoint/DAJacCon/DAJacCon.H:100-109):
+  - internal faces come first, boundary faces after, grouped per patch;
+  - a face's unit normal points from ``owner`` to ``neighbour`` (outward for
+    boundary faces);
+  - internal faces are sorted by (owner, neighbour) upper-triangular order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Patch:
+    """One boundary patch: a contiguous run of boundary faces.
+
+    Mirrors an OpenFOAM boundary entry (type: patch/wall/empty/symmetry...).
+    ``start`` indexes into the global face list (internal faces first).
+    """
+
+    name: str
+    start: int
+    size: int
+    kind: str = "patch"  # patch | wall | empty | symmetry | processor
+
+    @property
+    def bstart(self) -> int:
+        raise AttributeError("use topo.patch_bstart(name)")
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshTopology:
+    """Static mesh connectivity. All arrays are numpy (host, non-traced).
+
+    Attributes
+    ----------
+    n_cells       : number of cells
+    n_points      : number of mesh points
+    face_verts    : (n_faces, max_nv) int32 point indices per face, padded by
+                    repeating the first vertex (degenerate triangles add 0)
+    face_nverts   : (n_faces,) int32 true vertex count per face
+    owner         : (n_faces,) int32 owner cell of every face
+    neighbour     : (n_internal,) int32 neighbour cell of internal faces
+    n_internal    : number of internal faces
+    patches       : boundary patches, ordered, covering faces
+                    [n_internal, n_faces)
+    """
+
+    n_cells: int
+    n_points: int
+    face_verts: np.ndarray
+    face_nverts: np.ndarray
+    owner: np.ndarray
+    neighbour: np.ndarray
+    n_internal: int
+    patches: tuple[Patch, ...]
+
+    # ---- derived sizes -------------------------------------------------
+    @property
+    def n_faces(self) -> int:
+        return int(self.owner.shape[0])
+
+    @property
+    def n_boundary(self) -> int:
+        return self.n_faces - self.n_internal
+
+    def patch(self, name: str) -> Patch:
+        for p in self.patches:
+            if p.name == name:
+                return p
+        raise KeyError(f"no patch named {name!r}; have {[p.name for p in self.patches]}")
+
+    def patch_slice(self, name: str) -> slice:
+        """Global-face-index slice of a patch."""
+        p = self.patch(name)
+        return slice(p.start, p.start + p.size)
+
+    def patch_bslice(self, name: str) -> slice:
+        """Boundary-face-index slice (0 == first boundary face)."""
+        p = self.patch(name)
+        return slice(p.start - self.n_internal, p.start - self.n_internal + p.size)
+
+    def boundary_owner(self) -> np.ndarray:
+        return self.owner[self.n_internal:]
+
+    def validate(self) -> None:
+        nf = self.n_faces
+        assert self.face_verts.shape[0] == nf
+        assert self.face_nverts.shape[0] == nf
+        assert self.neighbour.shape[0] == self.n_internal
+        assert (self.neighbour >= 0).all() and (self.neighbour < self.n_cells).all()
+        assert (self.owner >= 0).all() and (self.owner < self.n_cells).all()
+        cover = 0
+        for p in self.patches:
+            assert p.start == self.n_internal + cover, (p, cover)
+            cover += p.size
+        assert cover == self.n_boundary, (cover, self.n_boundary)
+
+
+def cells_to_faces(cell_faces: Sequence[Sequence[int]]) -> None:
+    raise NotImplementedError
+
+
+def renumber_rcm(topo: MeshTopology) -> np.ndarray:
+    """Reverse Cuthill–McKee cell ordering for the cell adjacency graph.
+
+    Returns ``perm`` with ``perm[new] = old``. Reordering cells improves
+    locality of the face gather/scatter on TPU (SURVEY.md §7 "Hard parts" #3)
+    the same way OpenFOAM's renumberMesh does for cache locality.
+    """
+    n = topo.n_cells
+    own = topo.owner[: topo.n_internal]
+    nei = topo.neighbour
+    # adjacency in CSR
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, own, 1)
+    np.add.at(deg, nei, 1)
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=ptr[1:])
+    adj = np.empty(ptr[-1], dtype=np.int64)
+    fill = ptr[:-1].copy()
+    for a, b in ((own, nei), (nei, own)):
+        for i in range(a.shape[0]):
+            adj[fill[a[i]]] = b[i]
+            fill[a[i]] += 1
+    visited = np.zeros(n, dtype=bool)
+    order: list[int] = []
+    deg_order = np.argsort(deg, kind="stable")
+    for seed in deg_order:
+        if visited[seed]:
+            continue
+        queue = [int(seed)]
+        visited[seed] = True
+        qi = 0
+        while qi < len(queue):
+            c = queue[qi]
+            qi += 1
+            order.append(c)
+            nbrs = sorted(adj[ptr[c]:ptr[c + 1]].tolist(), key=lambda x: deg[x])
+            for nb in nbrs:
+                if not visited[nb]:
+                    visited[nb] = True
+                    queue.append(nb)
+    perm = np.array(order[::-1], dtype=np.int64)  # reverse CM
+    return perm
+
+
+def apply_cell_permutation(topo: MeshTopology, perm: np.ndarray) -> MeshTopology:
+    """Relabel cells with ``perm[new] = old`` and restore canonical face order.
+
+    Internal faces are re-sorted into upper-triangular (owner, neighbour)
+    order with owner < neighbour (flipping face orientation where needed);
+    boundary faces keep their patch-relative order.
+    """
+    n = topo.n_cells
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+
+    own = inv[topo.owner].astype(np.int32)
+    nei_i = inv[topo.neighbour].astype(np.int32)
+    own_i = own[: topo.n_internal].copy()
+
+    face_verts = topo.face_verts.copy()
+    face_nverts = topo.face_nverts.copy()
+
+    flip = own_i > nei_i
+    own_i2 = np.where(flip, nei_i, own_i)
+    nei_i2 = np.where(flip, own_i, nei_i)
+    # flip vertex order of flipped faces so the normal still points owner->nei
+    for f in np.nonzero(flip)[0]:
+        k = face_nverts[f]
+        face_verts[f, :k] = face_verts[f, :k][::-1]
+
+    key = own_i2.astype(np.int64) * n + nei_i2.astype(np.int64)
+    forder = np.argsort(key, kind="stable")
+
+    new_owner = np.concatenate([own_i2[forder], own[topo.n_internal:]])
+    new_nei = nei_i2[forder]
+    fv = np.concatenate([face_verts[: topo.n_internal][forder], face_verts[topo.n_internal:]])
+    fn = np.concatenate([face_nverts[: topo.n_internal][forder], face_nverts[topo.n_internal:]])
+
+    out = MeshTopology(
+        n_cells=n,
+        n_points=topo.n_points,
+        face_verts=fv,
+        face_nverts=fn,
+        owner=new_owner.astype(np.int32),
+        neighbour=new_nei.astype(np.int32),
+        n_internal=topo.n_internal,
+        patches=topo.patches,
+    )
+    out.validate()
+    return out

@@ -1,0 +1,135 @@
+"""Boundary conditions as pure coefficient functions.
+
+Every OpenFOAM fvPatchField is characterized, for assembly purposes, by four
+per-face coefficient arrays (valueInternalCoeffs, valueBoundaryCoeffs,
+gradientInternalCoeffs, gradientBoundaryCoeffs):
+
+    boundary value    psi_b     = vc * psi_own + vb
+    boundary snGrad   dpsi/dn|b = gc * psi_own + gb
+
+The reference applies BCs through the differentiated OpenFOAM fork
+(``correctBoundaryConditions`` inside the taped residual, e.g.
+src/adjoint/DAResidual/DAResidualSimpleFoam.C:250-265); here they are plain
+pure functions so ``jax.vjp`` differentiates them natively, including w.r.t.
+BC *values* (patchVelocity/AoA design variables, reference
+src/adjoint/DAInput/DAInputPatchVelocity.C).
+
+Static data (BC types per patch) lives in the spec dict; traced data (the
+values) lives in a separate ``values`` pytree so BC values can be design
+inputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class BCoef(NamedTuple):
+    vc: jnp.ndarray      # (nb,) or (nb,3) value internal coeff
+    vb: jnp.ndarray      # value boundary coeff
+    gc: jnp.ndarray      # gradient internal coeff
+    gb: jnp.ndarray      # gradient boundary coeff
+    active: jnp.ndarray  # (nb,) 1.0 except empty patches
+
+
+_ZG_TYPES = ("zeroGradient", "extrapolated")
+_FV_TYPES = ("fixedValue", "noSlip", "calculated")
+
+
+def _expand(val, size, rank, dtype):
+    v = jnp.asarray(val, dtype=dtype)
+    target = (size, 3) if rank == 1 else (size,)
+    return jnp.broadcast_to(v, target)
+
+
+def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
+           rank: int = 0, phi_b: jnp.ndarray | None = None) -> BCoef:
+    """Assemble boundary coefficient arrays for one field over all patches.
+
+    bcspec : {patch_name: {"type": str, ...}} (static)
+    values : {patch_name: array} traced BC values (fixedValue etc.)
+    psi    : (nc,) or (nc,3) current cell values (for lagged/symmetry terms)
+    phi_b  : (nb,) boundary face flux, needed by inletOutlet
+    """
+    ni = topo.n_internal
+    dtype = psi.dtype
+    own_b = topo.owner[ni:]
+    psi_own_all = psi[own_b]
+    dc_all = geom.nonorth_dc[ni:]
+    sf_all = geom.sf[ni:]
+    magsf_all = jnp.maximum(geom.magsf[ni:], 1e-300)
+
+    vcs, vbs, gcs, gbs, acts = [], [], [], [], []
+    for p in topo.patches:
+        sl = slice(p.start - ni, p.start - ni + p.size)
+        n = p.size
+        spec = bcspec.get(p.name, {"type": "zeroGradient"})
+        btype = spec["type"]
+        psi_own = psi_own_all[sl]
+        dc = dc_all[sl]
+        if rank == 1:
+            dc_b = dc[:, None]
+        else:
+            dc_b = dc
+
+        one = jnp.ones_like(psi_own)
+        zero = jnp.zeros_like(psi_own)
+        act = jnp.ones((n,), dtype=dtype)
+
+        if btype == "empty":
+            vc, vb, gc, gb = zero, zero, zero, zero
+            act = jnp.zeros((n,), dtype=dtype)
+        elif btype in _ZG_TYPES or (rank == 0 and btype in ("symmetry", "slip")):
+            vc, vb, gc, gb = one, zero, zero, zero
+        elif btype in _FV_TYPES:
+            val = _expand(values.get(p.name, 0.0), n, rank, dtype)
+            vc, vb = zero, val
+            gc, gb = -dc_b * one, dc_b * val
+        elif btype == "fixedGradient":
+            g = _expand(values.get(p.name, 0.0), n, rank, dtype)
+            vc, vb = one, g / dc_b
+            gc, gb = zero, g
+        elif btype == "inletOutlet":
+            if phi_b is None:
+                raise ValueError("inletOutlet BC needs phi_b")
+            val = _expand(values.get(p.name, 0.0), n, rank, dtype)
+            out = phi_b[sl] >= 0.0  # outflow -> zeroGradient
+            if rank == 1:
+                out = out[:, None]
+            vc = jnp.where(out, one, zero)
+            vb = jnp.where(out, zero, val)
+            gc = jnp.where(out, zero, -dc_b * one)
+            gb = jnp.where(out, zero, dc_b * val)
+        elif btype in ("symmetry", "slip") and rank == 1:
+            nhat = sf_all[sl] / magsf_all[sl][:, None]
+            # psi_b = psi - (psi.n) n ; per-component implicit part 1-n_c^2,
+            # cross-component part lagged (OpenFOAM per-cmpt approximation)
+            psin = jnp.einsum("fi,fi->f", psi_own, nhat)
+            vc = 1.0 - nhat * nhat
+            vb = -(psin[:, None] - psi_own * nhat) * nhat
+            gc = (vc - 1.0) * dc_b
+            gb = vb * dc_b
+        else:
+            raise NotImplementedError(f"BC type {btype!r} (patch {p.name})")
+
+        vcs.append(vc); vbs.append(vb); gcs.append(gc); gbs.append(gb)
+        acts.append(act)
+
+    return BCoef(
+        vc=jnp.concatenate(vcs), vb=jnp.concatenate(vbs),
+        gc=jnp.concatenate(gcs), gb=jnp.concatenate(gbs),
+        active=jnp.concatenate(acts),
+    )
+
+
+def boundary_value(bcoef: BCoef, psi: jnp.ndarray, topo) -> jnp.ndarray:
+    """psi_b = vc*psi_own + vb on every boundary face."""
+    own_b = topo.owner[topo.n_internal:]
+    return bcoef.vc * psi[own_b] + bcoef.vb
+
+
+def boundary_sngrad(bcoef: BCoef, psi: jnp.ndarray, topo) -> jnp.ndarray:
+    own_b = topo.owner[topo.n_internal:]
+    return bcoef.gc * psi[own_b] + bcoef.gb

@@ -1,0 +1,197 @@
+"""Implicit finite-volume operators (OpenFOAM ``fvm::``): FvMatrix assembly.
+
+Each operator returns an :class:`~dafoam_tpu.ops.fvmatrix.FvMatrix` whose
+action ``matvec(M, psi) - M.source`` equals the volume-integrated operator.
+Composition mirrors OpenFOAM equation syntax:
+
+    UEqn = fvm.div(...) + fvm.Sp(...) - (explicit terms via add_source)
+
+Boundary contributions are folded into diag/source at assembly using the BC
+coefficient quadruples from ``dafoam_tpu.ops.bc`` — the same internalCoeffs/
+boundaryCoeffs folding OpenFOAM does at solve time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dafoam_tpu.ops import fvc
+from dafoam_tpu.ops.bc import BCoef
+from dafoam_tpu.ops.core import scatter_add
+from dafoam_tpu.ops.fvmatrix import FvMatrix
+
+
+def _zeros_like_state(psi, topo, dtype):
+    nc = topo.n_cells
+    shape = (nc,) if psi.ndim == 1 else (nc, 3)
+    return jnp.zeros(shape, dtype=dtype)
+
+
+def _rank_r(x, psi):
+    """reshape face scalar (n,) for broadcasting against psi-rank values."""
+    return x.reshape((-1,) + (1,) * (psi.ndim - 1))
+
+
+def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
+        bounded: bool = False) -> FvMatrix:
+    """fvm::div(phi, psi): implicit convection.
+
+    scheme: "upwind" | "linear". ``bounded`` subtracts Sp(fvc::div(phi), psi)
+    (OpenFOAM 'bounded Gauss' — removes the non-conservative part for
+    steady-state runs before continuity is converged).
+    """
+    ni = topo.n_internal
+    nc = topo.n_cells
+    own = topo.owner[:ni]
+    nei = topo.neighbour
+    phi_i = phi_f[:ni]
+    phi_b = phi_f[ni:] * bcoef.active
+
+    if scheme == "upwind":
+        w = (phi_i >= 0.0).astype(psi.dtype)
+    elif scheme == "linear":
+        w = geom.weights[:ni]
+    else:
+        raise NotImplementedError(f"div scheme {scheme!r}")
+
+    # owner row: +phi*(w psi_o + (1-w) psi_n) ; neighbour row: -the same
+    diag_own = phi_i * w
+    upper = phi_i * (1.0 - w)
+    lower = -diag_own
+    diag_nei = -upper
+
+    diag_s = scatter_add(diag_own, own, nc, sorted=True) \
+        + scatter_add(diag_nei, nei, nc)
+
+    diag = _zeros_like_state(psi, topo, psi.dtype)
+    diag = diag + (diag_s if psi.ndim == 1 else diag_s[:, None])
+    source = _zeros_like_state(psi, topo, psi.dtype)
+
+    # boundary: owner row gets phi_b * (vc psi_o + vb)
+    own_b = topo.owner[ni:]
+    pb = _rank_r(phi_b, psi)
+    diag = diag.at[own_b].add(pb * bcoef.vc)
+    source = source.at[own_b].add(-pb * bcoef.vb)
+
+    m = FvMatrix(diag=diag, lower=lower, upper=upper, source=source)
+
+    if bounded:
+        divphi = fvc.div_surface(geom, topo, phi_f * jnp.concatenate(
+            [jnp.ones((ni,), phi_f.dtype), bcoef.active]))
+        m = m - Sp(geom, topo, divphi, psi)
+    return m
+
+
+def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
+              psi_b=None, grad_psi=None, grad_psi_b=None) -> FvMatrix:
+    """fvm::laplacian(gamma, psi).
+
+    gamma_f: (nf,) diffusivity already interpolated to faces.
+    corrected: include explicit non-orthogonal correction (needs grad_psi;
+    if absent it is computed from psi_b via a Gauss gradient).
+    """
+    ni = topo.n_internal
+    nc = topo.n_cells
+    own = topo.owner[:ni]
+    nei = topo.neighbour
+
+    dc = geom.nonorth_dc[:ni] if corrected else geom.delta_coeffs[:ni]
+    coef = gamma_f[:ni] * geom.magsf[:ni] * dc  # symmetric positive
+
+    upper = coef
+    lower = coef
+    diag_s = scatter_add(-coef, own, nc, sorted=True) \
+        + scatter_add(-coef, nei, nc)
+
+    diag = _zeros_like_state(psi, topo, psi.dtype)
+    diag = diag + (diag_s if psi.ndim == 1 else diag_s[:, None])
+    source = _zeros_like_state(psi, topo, psi.dtype)
+
+    # explicit non-orthogonal correction: + div( gamma * k . interp(grad psi) )
+    if corrected:
+        if grad_psi is None:
+            if psi_b is None:
+                from dafoam_tpu.ops.bc import boundary_value
+                psi_b = boundary_value(bcoef, psi, topo)
+            grad_psi = fvc.grad(geom, topo, psi, psi_b)
+            if grad_psi_b is None:
+                grad_psi_b = grad_psi[topo.owner[ni:]]
+        elif grad_psi_b is None:
+            grad_psi_b = grad_psi[topo.owner[ni:]]
+        gf = fvc.interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]
+        corr = jnp.einsum("fi,fi...->f...", geom.corr_vec[:ni], gf)
+        cflux = _rank_r(gamma_f[:ni] * geom.magsf[:ni], psi) * corr
+        # add to owner, subtract from neighbour; goes to SOURCE with minus
+        # (contribution(psi) = matvec - source must equal orth + corr)
+        source = source.at[own].add(-cflux)
+        source = source.at[nei].add(cflux)
+
+    # boundary: gamma_b |Sf| (gc psi_own + gb), masked on empty patches
+    own_b = topo.owner[ni:]
+    gb_coef = _rank_r(gamma_f[ni:] * geom.magsf[ni:] * bcoef.active, psi)
+    diag = diag.at[own_b].add(gb_coef * bcoef.gc)
+    source = source.at[own_b].add(-gb_coef * bcoef.gb)
+
+    return FvMatrix(diag=diag, lower=lower, upper=upper, source=source)
+
+
+def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
+                   grad_psi=None, grad_psi_b=None):
+    """Implicit face flux of the laplacian matrix at the current psi —
+    OpenFOAM ``pEqn.flux()`` (used for R_phi, DAResidualSimpleFoam.C:211)."""
+    ni = topo.n_internal
+    own = topo.owner[:ni]
+    nei = topo.neighbour
+    dc = geom.nonorth_dc[:ni] if corrected else geom.delta_coeffs[:ni]
+    coef = gamma_f[:ni] * geom.magsf[:ni] * dc
+    fl_i = coef * (psi[nei] - psi[own])
+    if corrected:
+        if grad_psi is None:
+            from dafoam_tpu.ops.bc import boundary_value
+            psi_b = boundary_value(bcoef, psi, topo)
+            grad_psi = fvc.grad(geom, topo, psi, psi_b)
+        if grad_psi_b is None:
+            grad_psi_b = grad_psi[topo.owner[ni:]]
+        gf = fvc.interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]
+        corr = jnp.einsum("fi,fi->f", geom.corr_vec[:ni], gf)
+        fl_i = fl_i + gamma_f[:ni] * geom.magsf[:ni] * corr
+    own_b = topo.owner[ni:]
+    fl_b = gamma_f[ni:] * geom.magsf[ni:] * bcoef.active \
+        * (bcoef.gc * psi[own_b] + bcoef.gb)
+    return jnp.concatenate([fl_i, fl_b])
+
+
+def Sp(geom, topo, coef, psi) -> FvMatrix:
+    """fvm::Sp(coef, psi): implicit source, diag += coef * V."""
+    ni = topo.n_internal
+    d = coef * geom.vol
+    diag = _zeros_like_state(psi, topo, psi.dtype)
+    diag = diag + (d if psi.ndim == 1 else d[:, None])
+    return FvMatrix(
+        diag=diag,
+        lower=jnp.zeros((ni,), psi.dtype),
+        upper=jnp.zeros((ni,), psi.dtype),
+        source=_zeros_like_state(psi, topo, psi.dtype),
+    )
+
+
+def ddt(geom, topo, psi, psi_old, dt, psi_oldold=None, scheme="Euler") -> FvMatrix:
+    """fvm::ddt: implicit Euler or BDF2 ('backward') time derivative."""
+    ni = topo.n_internal
+    v = geom.vol if psi.ndim == 1 else geom.vol[:, None]
+    if scheme == "Euler":
+        diagc = v / dt
+        src = v / dt * psi_old
+    elif scheme == "backward":
+        assert psi_oldold is not None
+        diagc = 1.5 * v / dt
+        src = v / dt * (2.0 * psi_old - 0.5 * psi_oldold)
+    else:
+        raise NotImplementedError(scheme)
+    diag = _zeros_like_state(psi, topo, psi.dtype) + diagc
+    return FvMatrix(
+        diag=diag,
+        lower=jnp.zeros((ni,), psi.dtype),
+        upper=jnp.zeros((ni,), psi.dtype),
+        source=_zeros_like_state(psi, topo, psi.dtype) + src,
+    )

@@ -1,0 +1,147 @@
+"""Layered option dictionary — the framework's single config source of truth.
+
+Mirrors the reference's ``DAOPTION`` (dafoam/pyDAFoam.py:39-661): class
+attributes define name + default + type; user dicts are merged with type
+checking. The C++ mirror (``DAOption``/``pyDict2OFDict``) is unnecessary here
+because the whole framework is one process.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+
+_DEFAULTS: dict[str, Any] = {
+    # ---- basic (reference pyDAFoam.py:44-137) --------------------------
+    "solverName": "DASimpleFoam",
+    "primalMinResTol": 1.0e-8,
+    "primalMinResTolDiff": 1.0e2,
+    "primalMinIters": 1,
+    "primalMaxIters": 10000,
+    "useAD": {"mode": "reverse", "dvName": "None", "seedIndex": -9999},
+    # ---- physics ---------------------------------------------------------
+    "transportProperties": {"nu": 1.5e-5, "DT": 4.0e-5, "Pr": 0.7, "Prt": 0.85},
+    "turbulenceModel": "None",  # None | SpalartAllmaras | kOmegaSST | ...
+    "primalBC": {},             # {"U0": {"variable","patches","value"}, ...}
+    "primalVarBounds": {
+        "UMax": 1000.0, "UMin": -1000.0, "pMax": 500000.0, "pMin": 20000.0,
+        "p_rghMax": 500000.0, "p_rghMin": 20000.0, "eMax": 500000.0,
+        "eMin": 100000.0, "TMax": 1000.0, "TMin": 100.0, "hMax": 500000.0,
+        "hMin": 100000.0, "DMax": 1e16, "DMin": -1e16, "rhoMax": 5.0,
+        "rhoMin": 0.2, "nuTildaMax": 1e16, "nuTildaMin": 1e-16,
+        "kMax": 1e16, "kMin": 1e-16, "omegaMax": 1e16, "omegaMin": 1e-16,
+        "epsilonMax": 1e16, "epsilonMin": 1e-16,
+    },
+    # ---- discretization --------------------------------------------------
+    "divSchemes": {},            # {"div(phi,U)": "linear"|"upwind"|"linearUpwind"}
+    "laplacianSchemes": {"default": "corrected"},
+    "relaxationFactors": {"fields": {"p": 0.3}, "equations": {"U": 0.7}},
+    "simple": {"consistent": False, "momentumPredictor": True,
+               "nNonOrthogonalCorrectors": 0},
+    "useConstrainHbyA": True,
+    # ---- adjoint ----------------------------------------------------------
+    "normalizeStates": {},
+    "normalizeResiduals": ["URes", "pRes", "phiRes", "TRes", "nuTildaRes",
+                           "kRes", "omegaRes", "epsilonRes"],
+    "adjStateOrdering": "state",
+    "adjEqnOption": {
+        "globalPCIters": 0, "asmOverlap": 1, "pcFillLevel": 1,
+        "jacMatReOrdering": "rcm", "gmresMaxIters": 1000,
+        "gmresRestart": 200, "gmresRelTol": 1.0e-6, "gmresAbsTol": 1.0e-14,
+        "gmresTolDiff": 1.0e2, "useNonZeroInitGuess": False,
+        "pcType": "ilu0",  # none | jacobi | ilu0
+        "dynAdjustTol": True,
+    },
+    "adjPCLag": 10000,
+    "adjEqnSolMethod": "Krylov",  # Krylov | fixedPoint
+    "transonicPCOption": -1,
+    # ---- unsteady ----------------------------------------------------------
+    "unsteadyAdjoint": {
+        "mode": "None", "PCMatPrecomputeInterval": 100,
+        "PCMatUpdateInterval": 1, "readZeroFields": True,
+        "additionalOutput": [], "reduceIO": True,
+    },
+    "ddtScheme": "steadyState",   # steadyState | Euler | backward
+    "deltaT": 1.0,
+    "endTime": 1.0,
+    # ---- objectives ----------------------------------------------------------
+    "function": {},
+    "inputInfo": {},
+    "outputInfo": {},
+    "fvSource": {},
+    "regressionModel": {"active": False},
+    # ---- primal loop control (reference DASolver.C:156-316) -----------------
+    "primalFuncStdTol": 0.0,
+    "primalFuncStdWindow": 200,
+    "printInterval": 100,
+    "printToScreen": False,
+    # ---- mesh quality (reference DACheckMesh.H:61-70) -------------------------
+    "checkMeshThreshold": {
+        "maxAspectRatio": 1000.0, "maxNonOrth": 70.0, "maxSkewness": 4.0,
+        "maxIncorrectlyOrientedFaces": 0,
+    },
+    # ---- linear solvers for the primal (segregated equation solves) ----------
+    "primalLinearSolver": {
+        "pMaxIters": 500, "pRelTol": 0.01, "uMaxIters": 100, "uRelTol": 0.1,
+        "turbMaxIters": 100, "turbRelTol": 0.1, "pAbsTol": 1e-20,
+    },
+    # ---- parallel -----------------------------------------------------------
+    "decomposeParDict": {"method": "scotch", "nProcessors": 1},
+    "wallDistanceMethod": "meshWaveFrozen",
+    # ---- misc -----------------------------------------------------------
+    "dtype": "auto",  # auto: f64 if x64 enabled, else f32
+    "seed": 0,
+    "writeMinorIterations": False,
+    "debug": False,
+}
+
+
+def _merge(base: dict, upd: dict, path: str = "") -> dict:
+    out = dict(base)
+    for k, v in upd.items():
+        if k in base and isinstance(base[k], dict) and isinstance(v, dict):
+            out[k] = _merge(base[k], v, path + k + ".")
+        else:
+            if k in base and base[k] is not None and v is not None:
+                tb, tv = type(base[k]), type(v)
+                ok = tb is tv or ({tb, tv} <= {int, float, bool})
+                if not ok and not isinstance(base[k], (list, dict)):
+                    raise TypeError(
+                        f"option {path+k}: expected {tb.__name__}, got {tv.__name__}")
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+class DAOption:
+    """Validated option store. ``opt["a.b.c"]`` digs into nested dicts."""
+
+    def __init__(self, options: dict | None = None):
+        self._opts = _merge(_DEFAULTS, options or {})
+
+    def __getitem__(self, key: str) -> Any:
+        node: Any = self._opts
+        for part in key.split("."):
+            node = node[part]
+        return node
+
+    def get(self, key: str, default: Any = None) -> Any:
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def set(self, key: str, value: Any) -> None:
+        parts = key.split(".")
+        node = self._opts
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    @property
+    def all(self) -> dict:
+        return self._opts
+
+    def __repr__(self) -> str:  # pragma: no cover
+        import pprint
+        return "DAOption(\n" + pprint.pformat(self._opts) + "\n)"

@@ -1,0 +1,23 @@
+"""Test config: CPU backend, 8 virtual devices (fake multi-chip), float64.
+
+Mirrors the reference's test strategy of running everything under 4 MPI
+ranks (tests/Allrun:25) — here multi-device is faked on CPU via
+xla_force_host_platform_device_count, something MPI-based DAFoam cannot do
+(SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# single-core machine: persistent compile cache makes reruns tolerable
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
