@@ -1,0 +1,112 @@
+"""Discrete adjoint via implicit-function theorem + matrix-free GMRES.
+
+This module is the TPU-native collapse of the reference's entire adjoint
+stack (SURVEY.md §3.3):
+
+- the CoDiPack global tape recorded once per adjoint solve
+  (DASolver::initializeGlobalADTape4dRdWT, DASolver.C:1411-1442) becomes
+  ``_, f_vjp = jax.vjp(R, W)`` closed over once;
+- every GMRES iteration's transposed-Jacobian-vector product
+  (dRdWTMatVecMultFunction, DASolver.C:1364) becomes one ``f_vjp`` call;
+- state/residual normalization (normalizeGradientVec/normalizeJacTVecProduct,
+  DASolver.C:2356, :1443) becomes diagonal scaling of the system:
+  solve  (D_W^T dR/dW^T D_R^-T) psi~ = D_W dJ/dW,  psi = D_R^-1 psi~.
+- forward-mode verification (the reference's separate ADF build) is
+  ``jax.jvp`` on the same residual (forward_total_derivative).
+
+The total derivative follows the implicit function theorem at the CONVERGED
+state — never backprop through the primal iterations (SURVEY.md §7 hard
+part #5):  dJ/dx = pJ/px - psi^T pR/px  with  dR/dW^T psi = pJ/pW.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from dafoam_tpu.linalg.krylov import gmres
+
+
+def _scale(tree, scales: dict | None, invert=False):
+    if not scales:
+        return tree
+    out = {}
+    for k, v in tree.items():
+        s = scales.get(k, 1.0)
+        out[k] = v / s if invert else v * s
+    return out
+
+
+def adjoint_solve(residual_fn: Callable, state, inputs, dJdW,
+                  state_scales: dict | None = None,
+                  res_scales: dict | None = None,
+                  precond: Callable | None = None,
+                  restart=60, rel_tol=1e-6, abs_tol=1e-14, max_iters=1000,
+                  psi0=None):
+    """Solve dR/dW^T psi = dJ/dW matrix-free.
+
+    residual_fn: W -> R (inputs closed over by caller or passed via lambda).
+    Returns (psi pytree shaped like R, SolveInfo).
+    """
+    _, f_vjp = jax.vjp(lambda w: residual_fn(w, inputs), state)
+
+    def matT(psi_scaled):
+        # psi~ -> D_W dR/dW^T D_R^-1 psi~
+        psi = _scale(psi_scaled, res_scales, invert=True)
+        (g,) = f_vjp(psi)
+        return _scale(g, state_scales)
+
+    rhs = _scale(dJdW, state_scales)
+    x0 = None if psi0 is None else _scale(psi0, res_scales)
+    psi_scaled, info = gmres(matT, rhs, x0=x0, precond=precond,
+                             restart=restart, rel_tol=rel_tol,
+                             abs_tol=abs_tol, max_iters=max_iters)
+    psi = _scale(psi_scaled, res_scales, invert=True)
+    return psi, info
+
+
+def total_derivative(residual_fn: Callable, func_fn: Callable, state, inputs,
+                     psi):
+    """dJ/dx = pJ/px - psi^T pR/px  for every leaf of ``inputs``.
+
+    Mirrors calcJacTVecProduct with output=(function) and
+    output=(residual, seed=psi) (reference DASolver.C:1690, used from
+    mphys_dafoam.py:405-431 apply_linear)."""
+    _, fJ_vjp = jax.vjp(lambda x: func_fn(state, x), inputs)
+    (dJdx,) = fJ_vjp(jnp.asarray(1.0, dtype=jnp.result_type(float)))
+    _, fR_vjp = jax.vjp(lambda x: residual_fn(state, x), inputs)
+    (dRdx_psi,) = fR_vjp(psi)
+    return jax.tree_util.tree_map(lambda a, b: a - b, dJdx, dRdx_psi)
+
+
+def dJdW_of(func_fn: Callable, state, inputs):
+    """pJ/pW seed for the adjoint RHS."""
+    g = jax.grad(lambda w: func_fn(w, inputs))(state)
+    return g
+
+
+def forward_total_derivative(residual_fn: Callable, func_fn: Callable, state,
+                             inputs, dx, linear_solve: Callable | None = None,
+                             restart=60, rel_tol=1e-10, max_iters=2000):
+    """Forward-mode total derivative (the reference's ADF cross-check,
+    testFuncs.py:34-46): dW = -(dR/dW)^{-1} (pR/px dx); dJ = pJ/pW dW + pJ/px dx.
+    """
+    # b = pR/px dx
+    _, b = jax.jvp(lambda x: residual_fn(state, x), (inputs,), (dx,))
+
+    def mat(v):
+        _, jv = jax.jvp(lambda w: residual_fn(w, inputs), (state,), (v,))
+        return jv
+
+    if linear_solve is None:
+        dW_neg, info = gmres(mat, b, restart=restart, rel_tol=rel_tol,
+                             max_iters=max_iters)
+    else:
+        dW_neg, info = linear_solve(mat, b)
+    dW = jax.tree_util.tree_map(lambda a: -a, dW_neg)
+
+    _, dJ_w = jax.jvp(lambda w: func_fn(w, inputs), (state,), (dW,))
+    _, dJ_x = jax.jvp(lambda x: func_fn(state, x), (inputs,), (dx,))
+    return dJ_w + dJ_x, info

@@ -195,12 +195,12 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
         V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
 
         def body(j, carry):
-            V, H, cs, sn, g, done = carry
+            done = carry[-1]
             return jax.lax.cond(done, lambda c: c, lambda c: _step(j, c),
-                                (V, H, cs, sn, g, done))
+                                carry)
 
         def _step(j, carry):
-            V, H, cs, sn, g, done = carry
+            V, H, cs, sn, g, k, done = carry
             w = mv_flat(V[j])
             # modified Gram-Schmidt (two-pass for stability): MXU matvec
             h = V @ w                      # (m+1,) only first j+1 meaningful
@@ -230,16 +230,23 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
             H = H.at[:, j].set(col)
             g = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
             done = jnp.abs(g[j + 1]) <= tol
-            return V, H, cs, sn, g, done
+            return V, H, cs, sn, g, k + 1, done
 
-        V, H, cs, sn, g, done = jax.lax.fori_loop(
-            0, m, body, (V, H, cs, sn, g, jnp.asarray(False)))
+        V, H, cs, sn, g, k, done = jax.lax.fori_loop(
+            0, m, body,
+            (V, H, cs, sn, g, jnp.asarray(0), jnp.asarray(False)))
 
-        # back-substitute y from H y = g (upper triangular m x m)
-        Hm = H[:m, :m] + jnp.eye(m, dtype=dtype) * 1e-300
-        y = jax.scipy.linalg.solve_triangular(Hm, g[:m], lower=False)
+        # back-substitute y from the leading k x k system H[:k,:k] y = g[:k]
+        # (columns >= k were never built: give them unit diagonal, zero rhs,
+        # so their y components are exactly zero)
+        used = jnp.arange(m) < k
+        Hm = jnp.where(used[None, :] & used[:, None], H[:m, :m],
+                       jnp.eye(m, dtype=dtype))
+        y = jax.scipy.linalg.solve_triangular(
+            Hm, jnp.where(used, g[:m], 0.0), lower=False)
         x = x + V[:m].T @ y
-        return x, jnp.abs(g[m]), done
+        resid = jnp.abs(g[k])
+        return x, resid, done
 
     def cond(s):
         x, res, it, done = s

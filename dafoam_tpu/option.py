@@ -24,6 +24,8 @@ _DEFAULTS: dict[str, Any] = {
     "transportProperties": {"nu": 1.5e-5, "DT": 4.0e-5, "Pr": 0.7, "Prt": 0.85},
     "turbulenceModel": "None",  # None | SpalartAllmaras | kOmegaSST | ...
     "primalBC": {},             # {"U0": {"variable","patches","value"}, ...}
+    "boundaryConditions": {},   # {field: {patch: {"type":..., "value":...}}}
+    "initialFields": {},        # {field: value}
     "primalVarBounds": {
         "UMax": 1000.0, "UMin": -1000.0, "pMax": 500000.0, "pMin": 20000.0,
         "p_rghMax": 500000.0, "p_rghMin": 20000.0, "eMax": 500000.0,

@@ -1,0 +1,28 @@
+from dafoam_tpu.solvers.base import DASolverBase, PrimalInfo
+from dafoam_tpu.solvers.scalar_transport import DAScalarTransportFoam
+from dafoam_tpu.solvers.heat_transfer import DAHeatTransferFoam
+
+_SOLVER_REGISTRY = {}
+
+
+def register_solver(cls):
+    _SOLVER_REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def make_solver(option, topo, points):
+    """Run-time solver selection — the reference's
+    DASolver::New(solverName) (addToRunTimeSelectionTable pattern)."""
+    from dafoam_tpu.option import DAOption
+    opt = option if isinstance(option, DAOption) else DAOption(option)
+    name = opt["solverName"]
+    if name not in _SOLVER_REGISTRY:
+        raise KeyError(f"unknown solver {name!r}; have {list(_SOLVER_REGISTRY)}")
+    return _SOLVER_REGISTRY[name](opt, topo, points)
+
+
+for _c in (DAScalarTransportFoam, DAHeatTransferFoam):
+    register_solver(_c)
+
+__all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",
+           "DAHeatTransferFoam", "make_solver", "register_solver"]

@@ -1,0 +1,211 @@
+"""Solver base: the TPU-native counterpart of the reference's DASolver.
+
+The reference's DASolver (src/adjoint/DASolver/DASolver.H:233) owns the mesh,
+the AD tape, primal loop control, matrix-free dRdWT products, and failure
+handling. Here the same responsibilities become:
+
+- one pure ``residuals(state, inputs)`` function per concrete solver (the
+  DAResidual family collapses into it);
+- ``solve_primal`` — a jitted, device-resident iteration;
+- ``solve_adjoint`` / ``total_derivative`` — wrappers over
+  ``dafoam_tpu.adjoint`` with the state/residual normalization the
+  reference applies in DASolver.C:2356/1443;
+- primal failure detection (NaN/blow-up -> invalid state; reference
+  DASolver::validateStates / checkPrimalFailure, DASolver.C:3787).
+
+``inputs`` is a pytree {points, bc: {field: {patch: value}}, params: {...}}
+— every leaf is a legal differentiation target, which subsumes the
+reference's DAInput family (volCoord = points, patchVelocity/patchVar = bc
+leaves, field/regressionPar = params leaves).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafoam_tpu.adjoint import solver as adjsolver
+from dafoam_tpu.functions import evaluate_function
+from dafoam_tpu.mesh.geometry import compute_geometry
+from dafoam_tpu.option import DAOption
+from dafoam_tpu.states import StateInfo, StateLayout
+
+
+class PrimalInfo(NamedTuple):
+    iters: jnp.ndarray
+    max_res: jnp.ndarray      # max normalized eqn residual at exit
+    converged: jnp.ndarray
+    failed: jnp.ndarray       # NaN / bounds blow-up detected
+
+
+class DASolverBase:
+    state_info: StateInfo = StateInfo()
+
+    def __init__(self, option, topo, points):
+        self.option = option if isinstance(option, DAOption) else DAOption(option)
+        self.topo = topo
+        self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.points = jnp.asarray(points, self.dtype)
+        self.layout = StateLayout(self.state_info, topo.n_cells, topo.n_faces)
+        # static BC types; traced values split into inputs
+        self.bc_spec = {}
+        self.bc_values0 = {}
+        for field, patches in self.option.get("boundaryConditions", {}).items():
+            self.bc_spec[field] = {}
+            self.bc_values0[field] = {}
+            for pname, spec in patches.items():
+                self.bc_spec[field][pname] = {
+                    k: v for k, v in spec.items() if k != "value"}
+                if "value" in spec:
+                    self.bc_values0[field][pname] = jnp.asarray(
+                        spec["value"], self.dtype)
+        # default empty-patch handling: every field gets "empty" on empty kinds
+        for field in self.bc_spec:
+            for p in topo.patches:
+                if p.kind == "empty":
+                    self.bc_spec[field][p.name] = {"type": "empty"}
+                elif p.name not in self.bc_spec[field]:
+                    self.bc_spec[field][p.name] = {"type": "zeroGradient"}
+
+    # ------------------------------------------------------------------
+    # inputs
+    # ------------------------------------------------------------------
+    def make_inputs(self) -> dict:
+        params = {k: jnp.asarray(v, self.dtype)
+                  for k, v in self.option["transportProperties"].items()}
+        return {"points": self.points,
+                "bc": jax.tree_util.tree_map(jnp.asarray, self.bc_values0),
+                "params": params}
+
+    def geometry(self, inputs):
+        return compute_geometry(inputs["points"], self.topo)
+
+    # ------------------------------------------------------------------
+    # abstract interface
+    # ------------------------------------------------------------------
+    def residuals(self, state: dict, inputs: dict) -> dict:
+        raise NotImplementedError
+
+    def solve_primal(self, state: dict, inputs: dict):
+        raise NotImplementedError
+
+    def init_state(self) -> dict:
+        st = self.layout.zeros(self.dtype)
+        for name, val in self.option.get("initialFields", {}).items():
+            if name in st:
+                st[name] = jnp.broadcast_to(
+                    jnp.asarray(val, self.dtype), st[name].shape)
+        return st
+
+    # ------------------------------------------------------------------
+    # residual post-scaling (normalizeResiduals semantics, reference
+    # src/include/DAMacroFunctions.H:28-50)
+    # ------------------------------------------------------------------
+    def _apply_res_norm(self, res: dict, geom) -> dict:
+        listed = set(self.option["normalizeResiduals"])
+        out = {}
+        for k, v in res.items():
+            rname = k + "Res"
+            if k == "phi":
+                if "phiRes" in listed:
+                    out[k] = v / jnp.maximum(geom.magsf, 1e-300)
+                else:
+                    out[k] = v
+            elif rname in listed:
+                out[k] = v               # per-volume form (fv residual)
+            else:
+                vol = geom.vol if v.ndim == 1 else geom.vol[:, None]
+                out[k] = v * vol         # volume-integrated form
+        return out
+
+    def state_scales(self, geom) -> dict:
+        ns = self.option["normalizeStates"]
+        out = {}
+        for name, _k in self.state_info.ordered:
+            s = ns.get(name, 1.0)
+            if name == "phi":
+                out[name] = s * geom.magsf
+            else:
+                out[name] = jnp.asarray(s, self.dtype)
+        return out
+
+    # ------------------------------------------------------------------
+    # functions
+    # ------------------------------------------------------------------
+    def function_ctx(self, state, inputs, with_residuals=False) -> dict:
+        """Build the evaluation context for the function registry."""
+        geom = self.geometry(inputs)
+        ctx = {"state": state, "geom": geom, "topo": self.topo,
+               "boundary": self.boundary_fields(state, inputs, geom),
+               "phi": state.get("phi", jnp.zeros((self.topo.n_faces,),
+                                                 self.dtype)),
+               "aux": self.aux_fields(state, inputs, geom)}
+        if with_residuals:
+            ctx["residuals"] = self.residuals(state, inputs)
+        return ctx
+
+    def boundary_fields(self, state, inputs, geom) -> dict:
+        """Override: boundary-face values of each field for functions."""
+        return {}
+
+    def aux_fields(self, state, inputs, geom) -> dict:
+        return {}
+
+    def eval_function(self, name, state, inputs):
+        cfg = self.option["function"][name]
+        ctx = self.function_ctx(state, inputs,
+                                with_residuals=cfg["type"] == "residualNorm")
+        return evaluate_function(cfg, ctx)
+
+    def eval_functions(self, state, inputs) -> dict:
+        return {n: self.eval_function(n, state, inputs)
+                for n in self.option["function"]}
+
+    # ------------------------------------------------------------------
+    # adjoint + totals
+    # ------------------------------------------------------------------
+    def _norm_residuals(self, state, inputs):
+        geom = self.geometry(inputs)
+        return self._apply_res_norm(self.residuals(state, inputs), geom)
+
+    def solve_adjoint(self, state, inputs, func_name, psi0=None,
+                      precond=None):
+        opt = self.option["adjEqnOption"]
+        geom = self.geometry(inputs)
+        scales = self.state_scales(geom)
+        dJdW = jax.grad(
+            lambda w: self.eval_function(func_name, w, inputs))(state)
+        res_fn = lambda w, x: self._norm_residuals(w, x)  # noqa: E731
+        psi, info = adjsolver.adjoint_solve(
+            res_fn, state, inputs, dJdW,
+            state_scales=scales, res_scales=scales,
+            precond=precond,
+            restart=opt["gmresRestart"], rel_tol=opt["gmresRelTol"],
+            abs_tol=opt["gmresAbsTol"], max_iters=opt["gmresMaxIters"],
+            psi0=psi0)
+        return psi, info
+
+    def total_derivative(self, state, inputs, func_name, psi):
+        return adjsolver.total_derivative(
+            lambda w, x: self._norm_residuals(w, x),
+            lambda w, x: self.eval_function(func_name, w, x),
+            state, inputs, psi)
+
+    def forward_total_derivative(self, state, inputs, func_name, dx):
+        return adjsolver.forward_total_derivative(
+            lambda w, x: self._norm_residuals(w, x),
+            lambda w, x: self.eval_function(func_name, w, x),
+            state, inputs, dx)
+
+    # ------------------------------------------------------------------
+    # failure detection (reference DASolver::validateStates, DASolver.C:3787)
+    # ------------------------------------------------------------------
+    def states_valid(self, state) -> jnp.ndarray:
+        ok = jnp.asarray(True)
+        for v in jax.tree_util.tree_leaves(state):
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(v)))
+            ok = jnp.logical_and(ok, jnp.all(jnp.abs(v) < 1e15))
+        return ok

@@ -8,7 +8,9 @@ xla_force_host_platform_device_count, something MPI-based DAFoam cannot do
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set (not setdefault): the ambient environment pins JAX_PLATFORMS to
+# the axon TPU tunnel; tests must run on local CPU with 8 fake devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
