@@ -88,12 +88,16 @@ def cg(matvec: Callable, b, x0=None, precond: Callable | None = None,
     def body(s):
         x, r, z, p, rz, it = s
         ap = matvec(p)
-        alpha = rz / jnp.maximum(tdot(p, ap), 1e-300)
+        # sign-preserving guards: the pressure laplacian is symmetric
+        # NEGATIVE definite (OpenFOAM convention) and CG is invariant under
+        # simultaneous negation — as long as we never clamp signs away.
+        pap = tdot(p, ap)
+        alpha = rz / jnp.where(jnp.abs(pap) > 1e-300, pap, 1e-300)
         x = taxpy(alpha, p, x)
         r = taxpy(-alpha, ap, r)
         z = precond(r)
         rz_new = tdot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-300)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-300, rz, 1e-300)
         p = taxpy(beta, p, z)
         return x, r, z, p, rz_new, it + 1
 

@@ -1,0 +1,186 @@
+"""OpenFOAM polyMesh reader (pure numpy, ASCII + binary).
+
+The reference reads the mesh through external `pyofm` (pyDAFoam.py:1858-1890
+_readOFGrid: points/faces/boundaries/owner/neighbour). This is a standalone
+reader for the same on-disk format (constant/polyMesh/{points,faces,owner,
+neighbour,boundary}) producing a MeshTopology + points array, so existing
+OpenFOAM cases (e.g. the reference's reg-test fixtures) can be imported
+directly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import re
+import struct
+
+import numpy as np
+
+from dafoam_tpu.mesh.topology import MeshTopology, Patch
+
+_KIND_MAP = {
+    "wall": "wall",
+    "empty": "empty",
+    "symmetry": "symmetry",
+    "symmetryPlane": "symmetry",
+    "patch": "patch",
+    "processor": "processor",
+    "cyclic": "patch",
+    "wedge": "patch",
+}
+
+
+def _read_file(path):
+    for cand in (path, path + ".gz"):
+        if os.path.exists(cand):
+            op = gzip.open if cand.endswith(".gz") else open
+            with op(cand, "rb") as f:
+                return f.read()
+    raise FileNotFoundError(path)
+
+
+def _strip_header(data: bytes):
+    """Return (header dict-ish text, payload after header)."""
+    # header is the FoamFile { ... } block; find its closing brace
+    m = re.search(rb"FoamFile\s*\{.*?\}", data, re.S)
+    if not m:
+        raise ValueError("not an OpenFOAM file (no FoamFile header)")
+    header = data[m.start():m.end()].decode("latin1")
+    fmt = "binary" if "binary" in header else "ascii"
+    return fmt, data[m.end():]
+
+
+def _strip_comments(text: str) -> str:
+    text = re.sub(r"//.*", "", text)
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    return text
+
+
+def _read_labels(path):
+    fmt, payload = _strip_header(_read_file(path))
+    if fmt == "ascii":
+        text = _strip_comments(payload.decode("latin1"))
+        m = re.search(r"(\d+)\s*\(", text)
+        n = int(m.group(1))
+        body = text[m.end():]
+        vals = np.fromstring(body.split(")")[0], dtype=np.int64, sep=" ") \
+            if False else np.array(body[:body.index(")")].split(),
+                                   dtype=np.int64)
+        assert vals.size == n, (vals.size, n)
+        return vals
+    # binary: "N(" then N int32/int64 then ")"
+    m = re.search(rb"(\d+)\s*\(", payload)
+    n = int(m.group(1))
+    raw = payload[m.end():]
+    for dt in (np.dtype("<i4"), np.dtype("<i8")):
+        if len(raw) >= n * dt.itemsize:
+            arr = np.frombuffer(raw[: n * dt.itemsize], dtype=dt)
+            if arr.size == n:
+                return arr.astype(np.int64)
+    raise ValueError(f"cannot parse binary labels in {path}")
+
+
+def _read_points(path):
+    fmt, payload = _strip_header(_read_file(path))
+    if fmt == "ascii":
+        text = _strip_comments(payload.decode("latin1"))
+        m = re.search(r"(\d+)\s*\(", text)
+        n = int(m.group(1))
+        body = text[m.end():]
+        nums = re.findall(r"[-+0-9.eE]+", body)
+        pts = np.array(nums[: 3 * n], dtype=np.float64).reshape(n, 3)
+        return pts
+    m = re.search(rb"(\d+)\s*\(", payload)
+    n = int(m.group(1))
+    raw = payload[m.end():]
+    arr = np.frombuffer(raw[: n * 24], dtype="<f8")
+    return arr.reshape(n, 3).copy()
+
+
+def _read_faces(path):
+    fmt, payload = _strip_header(_read_file(path))
+    if fmt == "ascii":
+        text = _strip_comments(payload.decode("latin1"))
+        m = re.search(r"(\d+)\s*\(", text)
+        n = int(m.group(1))
+        body = text[m.end():]
+        faces = []
+        # entries look like: 4(0 1 2 3)
+        for fm in re.finditer(r"(\d+)\s*\(([^)]*)\)", body):
+            k = int(fm.group(1))
+            verts = np.array(fm.group(2).split(), dtype=np.int64)
+            assert verts.size == k
+            faces.append(verts)
+            if len(faces) == n:
+                break
+        assert len(faces) == n
+        return faces
+    # binary faces: compact list: index array (n+1) + flat vertex array
+    m = re.search(rb"(\d+)\s*\(", payload)
+    n_idx = int(m.group(1))
+    raw = payload[m.end():]
+    idx = np.frombuffer(raw[: n_idx * 4], dtype="<i4").astype(np.int64)
+    rest = raw[n_idx * 4:]
+    m2 = re.search(rb"(\d+)\s*\(", rest)
+    n_flat = int(m2.group(1))
+    flat = np.frombuffer(rest[m2.end(): m2.end() + n_flat * 4],
+                         dtype="<i4").astype(np.int64)
+    return [flat[idx[i]: idx[i + 1]] for i in range(n_idx - 1)]
+
+
+def _read_boundary(path):
+    fmt, payload = _strip_header(_read_file(path))
+    text = _strip_comments(payload.decode("latin1"))
+    patches = []
+    for m in re.finditer(
+            r"([A-Za-z0-9_\-.:]+)\s*\{([^{}]*)\}", text):
+        name, body = m.group(1), m.group(2)
+        if "nFaces" not in body:
+            continue
+        get = lambda k: re.search(k + r"\s+([^;]+);", body)
+        ptype = get("type").group(1).strip()
+        nfaces = int(get("nFaces").group(1))
+        start = int(get("startFace").group(1))
+        patches.append((name, ptype, start, nfaces))
+    return patches
+
+
+def read_polymesh(case_dir: str, region: str = ""):
+    """Read an OpenFOAM case's polyMesh -> (points (np,3), MeshTopology)."""
+    pm = os.path.join(case_dir, "constant", region, "polyMesh")
+    points = _read_points(os.path.join(pm, "points"))
+    faces = _read_faces(os.path.join(pm, "faces"))
+    owner = _read_labels(os.path.join(pm, "owner")).astype(np.int32)
+    neighbour = _read_labels(os.path.join(pm, "neighbour")).astype(np.int32)
+    bnd = _read_boundary(os.path.join(pm, "boundary"))
+
+    n_internal = neighbour.shape[0]
+    n_faces = owner.shape[0]
+    n_cells = int(max(owner.max(), neighbour.max() if n_internal else 0)) + 1
+
+    max_nv = max(len(f) for f in faces)
+    fv = np.zeros((n_faces, max_nv), dtype=np.int32)
+    fn = np.zeros((n_faces,), dtype=np.int32)
+    for i, f in enumerate(faces):
+        fv[i, : len(f)] = f
+        fv[i, len(f):] = f[0]  # pad by repeating first vertex
+        fn[i] = len(f)
+
+    patches = []
+    for name, ptype, start, nfaces in sorted(bnd, key=lambda t: t[2]):
+        patches.append(Patch(name=name, start=start, size=nfaces,
+                             kind=_KIND_MAP.get(ptype, "patch")))
+
+    topo = MeshTopology(
+        n_cells=n_cells,
+        n_points=points.shape[0],
+        face_verts=fv,
+        face_nverts=fn,
+        owner=owner,
+        neighbour=neighbour,
+        n_internal=n_internal,
+        patches=tuple(patches),
+    )
+    topo.validate()
+    return points, topo

@@ -1,0 +1,27 @@
+from dafoam_tpu.models.base import TurbulenceModel, Laminar
+from dafoam_tpu.models.spalart_allmaras import SpalartAllmaras
+
+_TURB_REGISTRY = {
+    "None": Laminar,
+    "laminar": Laminar,
+    "SpalartAllmaras": SpalartAllmaras,
+}
+
+
+def make_turbulence_model(name: str, *args, **kw):
+    """Run-time turbulence model selection (reference DATurbulenceModel::New,
+    src/adjoint/DAModel/DATurbulenceModel/)."""
+    try:
+        cls = _TURB_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown turbulence model {name!r}; have {list(_TURB_REGISTRY)}")
+    return cls(*args, **kw)
+
+
+def register_turbulence_model(name, cls):
+    _TURB_REGISTRY[name] = cls
+
+
+__all__ = ["TurbulenceModel", "Laminar", "SpalartAllmaras",
+           "make_turbulence_model", "register_turbulence_model"]

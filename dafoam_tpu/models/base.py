@@ -1,0 +1,119 @@
+"""Differentiable turbulence-model family.
+
+Re-designs the reference's DATurbulenceModel hierarchy
+(src/adjoint/DAModel/DATurbulenceModel/DATurbulenceModel.H:165-186: pure
+virtuals correctNut / correctModelStates / calcResiduals / correct) as pure
+functions over the state pytree. Model states (nuTilda, k, omega, ...) are
+ordinary adjoint states — the reference splices them into its flat state
+vector via correctModelStates; here they are just extra keys.
+
+Each model provides:
+  nut(state, inputs, geom)        eddy viscosity from model states
+  divdevreff(U, ...)              the momentum-equation stress term
+                                  -div(nuEff grad U) - div(nuEff dev2(gradU^T))
+  residuals(...)                  model transport residuals (for the adjoint)
+  correct(...)                    one primal update of the model states
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dafoam_tpu.ops import bc, fvc, fvm
+from dafoam_tpu.ops import fvmatrix as fvx
+
+
+class TurbulenceModel:
+    model_states: tuple[str, ...] = ()
+
+    def __init__(self, topo, option, wall_dist=None):
+        self.topo = topo
+        self.option = option
+        self.wall_dist = wall_dist  # (nc,) frozen wall distance (meshWaveFrozen)
+
+    # -- eddy viscosity ------------------------------------------------
+    def nut(self, state, inputs, geom):
+        raise NotImplementedError
+
+    def nu(self, inputs):
+        return inputs["params"]["nu"]
+
+    def nu_eff_faces(self, state, inputs, geom, U_bco=None):
+        """nu + nut interpolated to all faces."""
+        nu = self.nu(inputs)
+        nut = self.nut(state, inputs, geom)
+        nu_eff = nut + nu
+        nu_eff_b = self.nut_boundary(state, inputs, geom) + nu
+        return fvc.interpolate(geom, self.topo, nu_eff, nu_eff_b), nu_eff, nu_eff_b
+
+    def nut_boundary(self, state, inputs, geom):
+        """Boundary nut (wall functions later; low-Re default: owner value,
+        zero at walls)."""
+        ni = self.topo.n_internal
+        nut = self.nut(state, inputs, geom)
+        nut_b = nut[self.topo.owner[ni:]]
+        # low-Re: nut -> 0 at walls
+        wall = self._wall_mask(geom.magsf.dtype)
+        return nut_b * (1.0 - wall)
+
+    def _wall_mask(self, dtype):
+        import numpy as np
+
+        ni = self.topo.n_internal
+        m = np.zeros((self.topo.n_faces - ni,))
+        for p in self.topo.patches:
+            if p.kind == "wall":
+                m[p.start - ni:p.start - ni + p.size] = 1.0
+        return jnp.asarray(m, dtype)
+
+    # -- momentum stress term -----------------------------------------
+    def divdevreff(self, U, state, inputs, geom, U_bco) -> fvx.FvMatrix:
+        """-laplacian(nuEff, U) - div(nuEff dev2(T(grad U))) as an FvMatrix
+        (implicit laplacian + explicit transpose/deviatoric part), matching
+        the role of daTurb_->divDevReff(U) in DAResidualSimpleFoam.C:145."""
+        topo = self.topo
+        nu_eff_f, nu_eff, nu_eff_b = self.nu_eff_faces(state, inputs, geom)
+        M = -fvm.laplacian(geom, topo, nu_eff_f, U, U_bco)
+        # explicit: -div( nuEff * dev2(gradU^T) )
+        U_b = bc.boundary_value(U_bco, U, topo)
+        gradU = fvc.grad(geom, topo, U, U_b)           # (nc,3,3) d_i U_j
+        ni = topo.n_internal
+        own_b = topo.owner[ni:]
+        # boundary gradient: replace normal component with BC snGrad
+        sng_b = bc.boundary_sngrad(U_bco, U, topo)      # (nb,3)
+        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-300)[:, None]
+        gU_own = gradU[own_b]
+        gU_b = gU_own + nhat[:, :, None] * (
+            sng_b - jnp.einsum("fi,fij->fj", nhat, gU_own))[:, None, :]
+
+        def dev2T(g):
+            # dev2(A) = A - (2/3) tr(A) I, applied to A = gradU^T
+            gt = jnp.swapaxes(g, -1, -2)
+            tr = jnp.trace(g, axis1=-2, axis2=-1)
+            eye = jnp.eye(3, dtype=g.dtype)
+            return gt - (2.0 / 3.0) * tr[..., None, None] * eye
+
+        T_cell = nu_eff[:, None, None] * dev2T(gradU)
+        T_b = nu_eff_b[:, None, None] * dev2T(gU_b)
+        expl = fvc.div_tensor(geom, topo, T_cell, T_b)  # (nc,3) per-volume
+        # contribution must be -expl: add +expl*V to source
+        return M.add_source(expl * geom.vol[:, None])
+
+    # -- model transport ----------------------------------------------
+    def residuals(self, state, inputs, geom, phi) -> dict:
+        return {}
+
+    def correct(self, state, inputs, geom, phi, rel_tol=0.1, max_iters=100):
+        """One primal iteration of the model equations; returns new state."""
+        return state
+
+
+class Laminar(TurbulenceModel):
+    """No model states; nut = 0 (reference DADummyTurbulenceModel role for
+    laminar flows)."""
+
+    def nut(self, state, inputs, geom):
+        return jnp.zeros_like(geom.vol)
+
+    def nut_boundary(self, state, inputs, geom):
+        return jnp.zeros((self.topo.n_boundary,), geom.vol.dtype)

@@ -1,0 +1,120 @@
+"""Spalart–Allmaras one-equation model (differentiable, low-Re).
+
+Capability parity with the reference's DASpalartAllmaras
+(src/adjoint/DAModel/DATurbulenceModel/DASpalartAllmaras.C): nuTilda is an
+adjoint model state, the transport residual is part of R(W), and nut is an
+intermediate recomputed from nuTilda (the reference's correctNut). Wall
+distance is a FROZEN precomputed field — the reference forces the same via
+meshWaveFrozen for parallel adjoint accuracy (pyDAFoam.py:435-437).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dafoam_tpu.linalg import fvsolve
+from dafoam_tpu.models.base import TurbulenceModel
+from dafoam_tpu.ops import bc, fvc, fvm
+from dafoam_tpu.ops import fvmatrix as fvx
+
+# standard coefficients
+SIGMA_NUT = 0.66666
+KAPPA = 0.41
+CB1 = 0.1355
+CB2 = 0.622
+CW1 = CB1 / KAPPA ** 2 + (1.0 + CB2) / SIGMA_NUT
+CW2 = 0.3
+CW3 = 2.0
+CV1 = 7.1
+CS = 0.3
+
+
+class SpalartAllmaras(TurbulenceModel):
+    model_states = ("nuTilda",)
+
+    def __init__(self, topo, option, wall_dist=None, bc_spec=None):
+        super().__init__(topo, option, wall_dist)
+        self.bc_spec = bc_spec or {}
+
+    # ------------------------------------------------------------------
+    def _chi_fv1(self, nuTilda, nu):
+        chi = nuTilda / nu
+        chi3 = chi ** 3
+        fv1 = chi3 / (chi3 + CV1 ** 3)
+        return chi, fv1
+
+    def nut(self, state, inputs, geom):
+        nu = self.nu(inputs)
+        _, fv1 = self._chi_fv1(state["nuTilda"], nu)
+        return state["nuTilda"] * fv1
+
+    # ------------------------------------------------------------------
+    def _stilda_fw(self, state, inputs, geom, gradU):
+        nu = self.nu(inputs)
+        nuTilda = state["nuTilda"]
+        d = jnp.maximum(self.wall_dist, 1e-12)
+        chi, fv1 = self._chi_fv1(nuTilda, nu)
+        fv2 = 1.0 - chi / (1.0 + chi * fv1)
+        skew = 0.5 * (gradU - jnp.swapaxes(gradU, -1, -2))
+        omega = jnp.sqrt(2.0) * jnp.sqrt(
+            jnp.maximum(jnp.sum(skew * skew, axis=(-2, -1)), 1e-300))
+        inv_kd2 = 1.0 / (KAPPA ** 2 * d ** 2)
+        stilda = jnp.maximum(omega + fv2 * nuTilda * inv_kd2, CS * omega)
+        r = jnp.minimum(nuTilda / jnp.maximum(stilda, 1e-16) * inv_kd2, 10.0)
+        g = r + CW2 * (r ** 6 - r)
+        fw = g * ((1.0 + CW3 ** 6) / (g ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
+        return stilda, fw, d
+
+    def _bco(self, state, inputs, geom, phi):
+        return bc.coeffs(self.bc_spec, inputs["bc"].get("nuTilda", {}),
+                         self.topo, geom, state["nuTilda"], rank=0,
+                         phi_b=phi[self.topo.n_internal:])
+
+    def _assemble(self, state, inputs, geom, phi, gradU, implicit_pd=True):
+        """nuTilda transport matrix + sources.
+
+        implicit_pd: destruction via Sp (primal stabilization, OpenFOAM
+        style); the residual value at given state is identical either way.
+        """
+        topo = self.topo
+        nu = self.nu(inputs)
+        nuTilda = state["nuTilda"]
+        bco = self._bco(state, inputs, geom, phi)
+        nuT_b = bc.boundary_value(bco, nuTilda, topo)
+        d_eff = (nu + nuTilda) / SIGMA_NUT
+        d_eff_b = (nu + nuT_b) / SIGMA_NUT
+        d_eff_f = fvc.interpolate(geom, topo, d_eff, d_eff_b)
+
+        M = fvm.div(geom, topo, phi, nuTilda, bco, scheme="upwind",
+                    bounded=True) \
+            - fvm.laplacian(geom, topo, d_eff_f, nuTilda, bco)
+
+        gn = fvc.grad(geom, topo, nuTilda, nuT_b)
+        cross = CB2 / SIGMA_NUT * jnp.sum(gn * gn, axis=-1)
+        stilda, fw, d = self._stilda_fw(state, inputs, geom, gradU)
+        prod = CB1 * stilda * nuTilda
+        # sources on RHS: cross-diffusion + production
+        M = M.add_source((cross + prod) * geom.vol)
+        if implicit_pd:
+            M = M + fvm.Sp(geom, topo, CW1 * fw * nuTilda / d ** 2, nuTilda)
+        else:
+            M = M.add_source(-CW1 * fw * (nuTilda / d) ** 2 * geom.vol)
+        return M
+
+    # ------------------------------------------------------------------
+    def residuals(self, state, inputs, geom, phi, gradU=None):
+        if gradU is None:
+            raise ValueError("SA residuals need gradU")
+        M = self._assemble(state, inputs, geom, phi, gradU)
+        return {"nuTilda": fvx.residual(M, state["nuTilda"], geom, self.topo)}
+
+    def correct(self, state, inputs, geom, phi, gradU=None,
+                rel_tol=0.1, max_iters=100, relax=0.7):
+        M = self._assemble(state, inputs, geom, phi, gradU)
+        M = fvx.relax(M, state["nuTilda"], relax, self.topo)
+        sol, _ = fvsolve.solve(M, state["nuTilda"], self.topo,
+                               symmetric=False, rel_tol=rel_tol,
+                               max_iters=max_iters)
+        bounds = self.option["primalVarBounds"]
+        sol = jnp.clip(sol, bounds["nuTildaMin"], bounds["nuTildaMax"])
+        return dict(state, nuTilda=sol)

@@ -1,6 +1,7 @@
 from dafoam_tpu.solvers.base import DASolverBase, PrimalInfo
 from dafoam_tpu.solvers.scalar_transport import DAScalarTransportFoam
 from dafoam_tpu.solvers.heat_transfer import DAHeatTransferFoam
+from dafoam_tpu.solvers.simple import DASimpleFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -21,8 +22,9 @@ def make_solver(option, topo, points):
     return _SOLVER_REGISTRY[name](opt, topo, points)
 
 
-for _c in (DAScalarTransportFoam, DAHeatTransferFoam):
+for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",
-           "DAHeatTransferFoam", "make_solver", "register_solver"]
+           "DAHeatTransferFoam", "DASimpleFoam", "make_solver",
+           "register_solver"]

@@ -201,6 +201,38 @@ class DASolverBase:
             state, inputs, dx)
 
     # ------------------------------------------------------------------
+    # jitted entry points (compile once per solver instance, reuse across
+    # optimization iterations — the reference pays tape re-recording every
+    # adjoint solve instead)
+    # ------------------------------------------------------------------
+    def _jitted(self, key, fn):
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        if key not in cache:
+            cache[key] = jax.jit(fn)
+        return cache[key]
+
+    def run_primal(self, state, inputs):
+        return self._jitted("primal", self.solve_primal)(state, inputs)
+
+    def run_function(self, name, state, inputs):
+        return self._jitted(("func", name),
+                            lambda s, i: self.eval_function(name, s, i))(
+                                state, inputs)
+
+    def run_adjoint(self, func_name, state, inputs):
+        return self._jitted(("adj", func_name),
+                            lambda s, i: self.solve_adjoint(s, i, func_name))(
+                                state, inputs)
+
+    def run_totals(self, func_name, state, inputs, psi):
+        return self._jitted(
+            ("tot", func_name),
+            lambda s, i, ps: self.total_derivative(s, i, func_name, ps))(
+                state, inputs, psi)
+
+    # ------------------------------------------------------------------
     # failure detection (reference DASolver::validateStates, DASolver.C:3787)
     # ------------------------------------------------------------------
     def states_valid(self, state) -> jnp.ndarray:

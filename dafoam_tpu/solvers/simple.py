@@ -1,0 +1,324 @@
+"""Steady incompressible SIMPLE solver with turbulence — the north-star.
+
+Capability parity with the reference's DASimpleFoam
+(src/adjoint/DASolver/DASimpleFoam/: UEqnSimple.H momentum predictor,
+pEqnSimple.H pressure-projection; residual definition
+DAResidualSimpleFoam.C:106-237). Parity-critical semantics preserved
+(SURVEY.md §2.5):
+
+- R_U = (UEqn & U) + grad(p) with UEqn = div(phi,U) + divDevReff(U) [- fvSource],
+  after UEqn.relax() — relaxation's source compensation cancels analytically
+  but its diagonal manipulation feeds rAU and hence R_p/R_phi;
+- R_p = pEqn & p with pEqn = laplacian(rAU,p) == div(phiHbyA), built from
+  rAU = 1/A(UEqn), HbyA = rAU*H(UEqn), optional constrainHbyA
+  (useConstrainHbyA option — constraining "creates discontinuity" that
+  degrades derivatives), adjustPhi when p needs a reference,
+  pRefCell=0/pRefValue=0;
+- the face flux phi is itself an adjoint state:
+  R_phi = phiHbyA - pEqn.flux() - phi;
+- turbulence model states are spliced into the state (models/).
+
+The whole primal is ONE jitted lax.while_loop — no per-iteration host sync.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafoam_tpu.linalg import fvsolve
+from dafoam_tpu.mesh.walldist import compute_wall_distance
+from dafoam_tpu.mesh.geometry import compute_geometry
+from dafoam_tpu.models import make_turbulence_model
+from dafoam_tpu.ops import bc, fvc, fvm
+from dafoam_tpu.ops import fvmatrix as fvx
+from dafoam_tpu.solvers.base import DASolverBase, PrimalInfo
+from dafoam_tpu.states import StateInfo
+
+
+class DASimpleFoam(DASolverBase):
+
+    def __init__(self, option, topo, points):
+        from dafoam_tpu.option import DAOption
+        opt = option if isinstance(option, DAOption) else DAOption(option)
+        turb_name = opt["turbulenceModel"]
+        # state roster depends on the turbulence model (reference
+        # DAStateInfoSimpleFoam registers U,p,phi + model states)
+        from dafoam_tpu.models import _TURB_REGISTRY
+        model_states = _TURB_REGISTRY[turb_name].model_states
+        self.state_info = StateInfo(vol_vector=("U",), vol_scalar=("p",),
+                                    model=tuple(model_states),
+                                    surface_scalar=("phi",))
+        super().__init__(opt, topo, points)
+
+        # frozen wall distance (meshWaveFrozen semantics)
+        geom0 = compute_geometry(self.points, topo)
+        wd = compute_wall_distance(geom0, topo)
+        self.wall_dist = jnp.asarray(wd, self.dtype)
+        self.turb = make_turbulence_model(
+            turb_name, topo, self.option, wall_dist=self.wall_dist,
+            bc_spec=self.bc_spec.get("nuTilda", {})) \
+            if turb_name not in ("None", "laminar") else \
+            make_turbulence_model(turb_name, topo, self.option,
+                                  wall_dist=self.wall_dist)
+
+        self.div_u_scheme = self.option["divSchemes"].get(
+            "div(phi,U)", "linearUpwind")
+        # p has a Dirichlet patch? then no reference cell is needed
+        pspec = self.bc_spec.get("p", {})
+        self.p_needs_ref = not any(
+            s["type"] in ("fixedValue",) for s in pspec.values())
+        # which boundary faces have a fixed (non-adjustable) velocity
+        ni = topo.n_internal
+        fixed = np.zeros((topo.n_faces - ni,))
+        for p in topo.patches:
+            s = self.bc_spec.get("U", {}).get(p.name, {"type": "zeroGradient"})
+            if s["type"] in ("fixedValue", "noSlip", "empty") \
+                    or p.kind == "empty":
+                fixed[p.start - ni:p.start - ni + p.size] = 1.0
+        self._fixed_flux_b = jnp.asarray(fixed, self.dtype)
+        self._user_bounds = (option.get("primalVarBounds", {})
+                             if isinstance(option, dict) else {})
+
+    # ------------------------------------------------------------------
+    # BC helpers
+    # ------------------------------------------------------------------
+    def _bco_U(self, U, inputs, geom, phi):
+        return bc.coeffs(self.bc_spec["U"], inputs["bc"].get("U", {}),
+                         self.topo, geom, U, rank=1,
+                         phi_b=phi[self.topo.n_internal:])
+
+    def _bco_p(self, p, inputs, geom, phi):
+        return bc.coeffs(self.bc_spec["p"], inputs["bc"].get("p", {}),
+                         self.topo, geom, p, rank=0,
+                         phi_b=phi[self.topo.n_internal:])
+
+    # ------------------------------------------------------------------
+    # shared assembly: momentum eqn + pressure projection pieces
+    # ------------------------------------------------------------------
+    def _ueqn(self, state, inputs, geom, is_pc=False):
+        U, phi = state["U"], state["phi"]
+        U_bco = self._bco_U(U, inputs, geom, phi)
+        scheme = "upwind" if is_pc else self.div_u_scheme
+        if scheme == "linearUpwind":
+            scheme = "upwind"  # TODO deferred-correction linearUpwind
+        M = fvm.div(geom, self.topo, phi, U, U_bco, scheme=scheme,
+                    bounded=True) \
+            + self.turb.divdevreff(U, state, inputs, geom, U_bco)
+        alpha = self.option["relaxationFactors"]["equations"].get("U", 0.7)
+        M = fvx.relax(M, U, alpha, self.topo)
+        return M, U_bco
+
+    def _projection(self, state, inputs, geom, UEqn, U_bco, U_pred):
+        """rAU, HbyA, phiHbyA, pressure matrix — shared by primal iteration
+        and residual evaluation."""
+        topo = self.topo
+        ni = topo.n_internal
+        p, phi = state["p"], state["phi"]
+        p_bco = self._bco_p(p, inputs, geom, phi)
+        p_b = bc.boundary_value(p_bco, p, topo)
+
+        rAU = 1.0 / fvx.A(UEqn, geom)
+        HbyA = rAU[:, None] * fvx.H(UEqn, U_pred, geom, topo)
+        # boundary HbyA: U's value on value-fixing patches (constrainHbyA),
+        # else extrapolated
+        U_b = bc.boundary_value(U_bco, U_pred, topo)
+        if self.option["useConstrainHbyA"]:
+            HbyA_b = jnp.where(self._fixed_flux_b[:, None] > 0.5,
+                               U_b, HbyA[topo.owner[ni:]])
+        else:
+            HbyA_b = HbyA[topo.owner[ni:]]
+        phiHbyA = fvc.flux(geom, topo, HbyA, HbyA_b)
+
+        if self.p_needs_ref:
+            phiHbyA = self._adjust_phi(phiHbyA, geom)
+
+        rAU_b = rAU[topo.owner[ni:]]
+        rAU_f = fvc.interpolate(geom, topo, rAU, rAU_b)
+        pM = fvm.laplacian(geom, topo, rAU_f, p, p_bco)
+        # pEqn: laplacian(rAU, p) == div(phiHbyA)
+        div_phiHbyA = fvc.div_surface(geom, topo, phiHbyA) * geom.vol
+        pM = pM.add_source(div_phiHbyA)
+        if self.p_needs_ref:
+            pM = fvx.set_reference(pM, 0, 0.0)
+        return rAU, rAU_f, HbyA, phiHbyA, pM, p_bco
+
+    def _adjust_phi(self, phiHbyA, geom):
+        """Global mass-conservation fix for all-Neumann pressure (OpenFOAM
+        adjustPhi, called in both the primal and the residual,
+        DAResidualSimpleFoam.C:185)."""
+        ni = self.topo.n_internal
+        phib = phiHbyA[ni:]
+        adj = 1.0 - self._fixed_flux_b
+        outflow = (phib > 0.0).astype(phib.dtype)
+        mass_in = -jnp.sum(phib * (1.0 - outflow))
+        fixed_out = jnp.sum(phib * outflow * self._fixed_flux_b)
+        adj_out = jnp.sum(phib * outflow * adj)
+        corr = (mass_in - fixed_out) / jnp.where(
+            jnp.abs(adj_out) > 1e-300, adj_out, 1.0)
+        phib_new = jnp.where((outflow > 0.5) & (adj > 0.5),
+                             phib * corr, phib)
+        return phiHbyA.at[ni:].set(phib_new)
+
+    # ------------------------------------------------------------------
+    # residuals (adjoint)
+    # ------------------------------------------------------------------
+    def residuals(self, state, inputs):
+        geom = self.geometry(inputs)
+        topo = self.topo
+        U, p, phi = state["U"], state["p"], state["phi"]
+        UEqn, U_bco = self._ueqn(state, inputs, geom)
+        p_bco0 = self._bco_p(p, inputs, geom, phi)
+        p_b = bc.boundary_value(p_bco0, p, topo)
+        gradp = fvc.grad(geom, topo, p, p_b)
+
+        r_U = fvx.residual(UEqn, U, geom, topo) + gradp
+
+        rAU, rAU_f, HbyA, phiHbyA, pM, p_bco = self._projection(
+            state, inputs, geom, UEqn, U_bco, U)
+        r_p = fvx.residual(pM, p, geom, topo)
+        p_flux = fvm.laplacian_flux(geom, topo, rAU_f, p, p_bco)
+        r_phi = phiHbyA - p_flux - phi
+
+        out = {"U": r_U, "p": r_p, "phi": r_phi}
+        if self.turb.model_states:
+            U_b = bc.boundary_value(U_bco, U, topo)
+            gradU = fvc.grad(geom, topo, U, U_b)
+            out.update(self.turb.residuals(state, inputs, geom, phi,
+                                           gradU=gradU))
+        return out
+
+    # ------------------------------------------------------------------
+    # primal
+    # ------------------------------------------------------------------
+    def init_state(self):
+        st = super().init_state()
+        geom = compute_geometry(self.points, self.topo)
+        inputs = self.make_inputs()
+        Ubco = bc.coeffs(self.bc_spec["U"], inputs["bc"].get("U", {}),
+                         self.topo, geom, st["U"], rank=1,
+                         phi_b=jnp.zeros((self.topo.n_boundary,), self.dtype))
+        U_b = bc.boundary_value(Ubco, st["U"], self.topo)
+        st["phi"] = fvc.flux(geom, self.topo, st["U"], U_b)
+        return st
+
+    def _bound(self, name, v):
+        b = self._user_bounds
+        lo, hi = b.get(name + "Min"), b.get(name + "Max")
+        if lo is None and hi is None:
+            return v
+        return jnp.clip(v, lo if lo is not None else -jnp.inf,
+                        hi if hi is not None else jnp.inf)
+
+    def solve_primal(self, state, inputs):
+        geom = self.geometry(inputs)
+        topo = self.topo
+        opt = self.option
+        lin = opt["primalLinearSolver"]
+        alpha_p = opt["relaxationFactors"]["fields"].get("p", 0.3)
+        tol = opt["primalMinResTol"]
+        max_it = opt["primalMaxIters"]
+        min_it = opt["primalMinIters"]
+
+        def one_iter(state):
+            U, p, phi = state["U"], state["p"], state["phi"]
+            UEqn, U_bco = self._ueqn(state, inputs, geom)
+            p_bco = self._bco_p(p, inputs, geom, phi)
+            p_b = bc.boundary_value(p_bco, p, topo)
+            gradp = fvc.grad(geom, topo, p, p_b)
+            rhs_U = -gradp * geom.vol[:, None]
+            res_U = fvsolve.initial_residual_norm(UEqn, U, topo, rhs=rhs_U)
+
+            if opt["simple"]["momentumPredictor"]:
+                U_pred, _ = fvsolve.solve(
+                    UEqn, U, topo, symmetric=False,
+                    rel_tol=lin["uRelTol"], max_iters=lin["uMaxIters"],
+                    rhs=rhs_U)
+                U_pred = self._bound("U", U_pred)
+            else:
+                U_pred = U
+
+            rAU, rAU_f, HbyA, phiHbyA, pM, p_bco = self._projection(
+                state, inputs, geom, UEqn, U_bco, U_pred)
+            res_p = fvsolve.initial_residual_norm(pM, p, topo)
+            p_new, _ = fvsolve.solve(pM, p, topo, symmetric=True,
+                                     rel_tol=lin["pRelTol"],
+                                     max_iters=lin["pMaxIters"])
+            phi_new = phiHbyA - fvm.laplacian_flux(geom, topo, rAU_f, p_new,
+                                                   p_bco)
+            # explicit pressure relaxation, then momentum corrector
+            p_rel = p + alpha_p * (p_new - p)
+            p_rel = self._bound("p", p_rel)
+            p_bco2 = self._bco_p(p_rel, inputs, geom, phi_new)
+            p_b2 = bc.boundary_value(p_bco2, p_rel, topo)
+            gradp2 = fvc.grad(geom, topo, p_rel, p_b2)
+            U_new = HbyA - rAU[:, None] * gradp2
+            U_new = self._bound("U", U_new)
+
+            new_state = dict(state, U=U_new, p=p_rel, phi=phi_new)
+
+            if self.turb.model_states:
+                U_b = bc.boundary_value(U_bco, U_new, topo)
+                gradU = fvc.grad(geom, topo, U_new, U_b)
+                relax_t = opt["relaxationFactors"]["equations"].get(
+                    "nuTilda", 0.7)
+                new_state = self.turb.correct(
+                    new_state, inputs, geom, phi_new, gradU=gradU,
+                    rel_tol=lin["turbRelTol"], max_iters=lin["turbMaxIters"],
+                    relax=relax_t)
+
+            return new_state, jnp.maximum(res_U, res_p)
+
+        def cond(c):
+            st, it, res = c
+            keep = jnp.logical_or(it < min_it, res > tol)
+            keep = jnp.logical_and(keep, it < max_it)
+            return jnp.logical_and(keep, self.states_valid(st))
+
+        def body(c):
+            st, it, res = c
+            st2, res2 = one_iter(st)
+            return st2, it + 1, res2
+
+        st, it, res = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0),
+                         jnp.asarray(jnp.inf, self.dtype)))
+        ok = self.states_valid(st)
+        return st, PrimalInfo(it, res, jnp.logical_and(res <= tol, ok),
+                              jnp.logical_not(ok))
+
+    # ------------------------------------------------------------------
+    # function context
+    # ------------------------------------------------------------------
+    def boundary_fields(self, state, inputs, geom):
+        topo = self.topo
+        U, p, phi = state["U"], state["p"], state["phi"]
+        U_bco = self._bco_U(U, inputs, geom, phi)
+        p_bco = self._bco_p(p, inputs, geom, phi)
+        return {"U": bc.boundary_value(U_bco, U, topo),
+                "p": bc.boundary_value(p_bco, p, topo)}
+
+    def function_ctx(self, state, inputs, with_residuals=False):
+        ctx = super().function_ctx(state, inputs, with_residuals)
+        geom = ctx["geom"]
+        topo = self.topo
+        ni = topo.n_internal
+        U, phi = state["U"], state["phi"]
+        U_bco = self._bco_U(U, inputs, geom, phi)
+        U_b = bc.boundary_value(U_bco, U, topo)
+        gradU = fvc.grad(geom, topo, U, U_b)
+        sng_b = bc.boundary_sngrad(U_bco, U, topo)
+        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-300)[:, None]
+        own_b = topo.owner[ni:]
+        gU_own = gradU[own_b]
+        ctx["gradU_b"] = gU_own + nhat[:, :, None] * (
+            sng_b - jnp.einsum("fi,fij->fj", nhat, gU_own))[:, None, :]
+        nu = inputs["params"]["nu"]
+        ctx["nu_eff_b"] = self.turb.nut_boundary(state, inputs, geom) + nu
+        ctx["rho_ref"] = inputs["params"].get("rhoRef", 1.0)
+        if "patchVelocity" in inputs.get("aoa", {}):
+            ctx["aoa_rad"] = inputs["aoa"]["patchVelocity"][1] * jnp.pi / 180.0
+        return ctx

@@ -4,13 +4,15 @@ Mirrors the reference's test strategy of running everything under 4 MPI
 ranks (tests/Allrun:25) — here multi-device is faked on CPU via
 xla_force_host_platform_device_count, something MPI-based DAFoam cannot do
 (SURVEY.md §4).
+
+IMPORTANT: in this environment jax is PRE-IMPORTED at interpreter startup
+with JAX_PLATFORMS=axon (the TPU tunnel), so env vars set here are too late.
+`jax.config.update("jax_platforms", ...)` works post-import as long as no
+backend has been touched yet.
 """
 
 import os
 
-# hard-set (not setdefault): the ambient environment pins JAX_PLATFORMS to
-# the axon TPU tunnel; tests must run on local CPU with 8 fake devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # single-core machine: persistent compile cache makes reruns tolerable
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
