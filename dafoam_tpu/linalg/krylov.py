@@ -164,21 +164,27 @@ def bicgstab(matvec: Callable, b, x0=None, precond: Callable | None = None,
 
 def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
           restart=60, rel_tol=1e-6, abs_tol=1e-14, max_iters=1000):
-    """Right-preconditioned restarted GMRES on a pytree vector.
+    """Flexible right-preconditioned restarted GMRES (FGMRES) on a pytree.
 
     Matches the role of the reference's KSPGMRES setup
     (DALinearEqn.C:28 createMLRKSP: relTol/absTol/restart/maxIters from
-    `adjEqnOption`, right PC side). The Krylov basis is stored as a stacked
-    flat matrix for MXU-friendly orthogonalization.
+    `adjEqnOption`, right PC side). FLEXIBLE variant: the preconditioned
+    basis Z is stored alongside V, so the preconditioner may itself be an
+    inner Krylov solve (our segregated block PC) — a fixed-operator
+    assumption here silently corrupts the solution. The Krylov basis is a
+    stacked flat matrix for MXU-friendly orthogonalization.
     """
+    flexible = precond is not None
     precond = precond or _identity
     flat_b, unravel = jax.flatten_util.ravel_pytree(b)
     n = flat_b.shape[0]
     dtype = flat_b.dtype
 
-    def mv_flat(u):
-        return jax.flatten_util.ravel_pytree(
-            matvec(precond(unravel(u))))[0]
+    def mvA_flat(u):
+        return jax.flatten_util.ravel_pytree(matvec(unravel(u)))[0]
+
+    def mprec_flat(u):
+        return jax.flatten_util.ravel_pytree(precond(unravel(u)))[0]
 
     x = jnp.zeros_like(flat_b) if x0 is None else \
         jax.flatten_util.ravel_pytree(x0)[0]
@@ -188,10 +194,11 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
     m = restart
 
     def arnoldi_cycle(x):
-        r = flat_b - mv_flat(x)
+        r = flat_b - mvA_flat(x)    # TRUE residual (x lives in solution space)
         beta = jnp.linalg.norm(r)
 
         V = jnp.zeros((m + 1, n), dtype=dtype)
+        Z = jnp.zeros((m, n), dtype=dtype)   # preconditioned basis (FGMRES)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         cs = jnp.zeros((m,), dtype=dtype)
         sn = jnp.zeros((m,), dtype=dtype)
@@ -204,8 +211,10 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
                                 carry)
 
         def _step(j, carry):
-            V, H, cs, sn, g, k, done = carry
-            w = mv_flat(V[j])
+            V, Z, H, cs, sn, g, k, done = carry
+            z = mprec_flat(V[j]) if flexible else V[j]
+            Z = Z.at[j].set(z)
+            w = mvA_flat(z)
             # modified Gram-Schmidt (two-pass for stability): MXU matvec
             h = V @ w                      # (m+1,) only first j+1 meaningful
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
@@ -234,11 +243,11 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
             H = H.at[:, j].set(col)
             g = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
             done = jnp.abs(g[j + 1]) <= tol
-            return V, H, cs, sn, g, k + 1, done
+            return V, Z, H, cs, sn, g, k + 1, done
 
-        V, H, cs, sn, g, k, done = jax.lax.fori_loop(
+        V, Z, H, cs, sn, g, k, done = jax.lax.fori_loop(
             0, m, body,
-            (V, H, cs, sn, g, jnp.asarray(0), jnp.asarray(False)))
+            (V, Z, H, cs, sn, g, jnp.asarray(0), jnp.asarray(False)))
 
         # back-substitute y from the leading k x k system H[:k,:k] y = g[:k]
         # (columns >= k were never built: give them unit diagonal, zero rhs,
@@ -248,22 +257,21 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
                        jnp.eye(m, dtype=dtype))
         y = jax.scipy.linalg.solve_triangular(
             Hm, jnp.where(used, g[:m], 0.0), lower=False)
-        x = x + V[:m].T @ y
+        x = x + (Z.T if flexible else V[:m].T) @ y
         resid = jnp.abs(g[k])
-        return x, resid, done
+        return x, resid, done, k
 
     def cond(s):
         x, res, it, done = s
-        return jnp.logical_and(it * m < max_iters, jnp.logical_not(done))
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
     def body(s):
         x, res, it, done = s
-        x, res, done = arnoldi_cycle(x)
-        return x, res, it + 1, res <= tol
+        x, res, done, k = arnoldi_cycle(x)
+        return x, res, it + k, res <= tol
 
-    r0 = jnp.linalg.norm(flat_b - mv_flat(x))
+    r0 = jnp.linalg.norm(flat_b - mvA_flat(x))
     x, res, it, done = jax.lax.while_loop(
         cond, body, (x, r0, jnp.asarray(0), r0 <= tol))
 
-    sol = precond(unravel(x))
-    return sol, SolveInfo(it * m, r0, res, res <= tol)
+    return unravel(x), SolveInfo(it, r0, res, res <= tol)

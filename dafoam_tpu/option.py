@@ -49,10 +49,12 @@ _DEFAULTS: dict[str, Any] = {
     "adjStateOrdering": "state",
     "adjEqnOption": {
         "globalPCIters": 0, "asmOverlap": 1, "pcFillLevel": 1,
-        "jacMatReOrdering": "rcm", "gmresMaxIters": 1000,
-        "gmresRestart": 200, "gmresRelTol": 1.0e-6, "gmresAbsTol": 1.0e-14,
+        "jacMatReOrdering": "rcm", "gmresMaxIters": 2000,
+        "gmresRestart": 300, "gmresRelTol": 1.0e-6, "gmresAbsTol": 1.0e-14,
         "gmresTolDiff": 1.0e2, "useNonZeroInitGuess": False,
-        "pcType": "ilu0",  # none | jacobi | ilu0
+        # none | segregated (block PC from the per-equation operators)
+        "pcType": "segregated",
+        "pcInnerIters": 15,
         "dynAdjustTol": True,
     },
     "adjPCLag": 10000,

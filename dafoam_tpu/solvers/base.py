@@ -171,11 +171,17 @@ class DASolverBase:
         geom = self.geometry(inputs)
         return self._apply_res_norm(self.residuals(state, inputs), geom)
 
+    def make_adjoint_pc(self, state, inputs):
+        """Override: return a GMRES preconditioner callable (or None)."""
+        return None
+
     def solve_adjoint(self, state, inputs, func_name, psi0=None,
                       precond=None):
         opt = self.option["adjEqnOption"]
         geom = self.geometry(inputs)
         scales = self.state_scales(geom)
+        if precond is None and opt.get("pcType", "none") != "none":
+            precond = self.make_adjoint_pc(state, inputs)
         dJdW = jax.grad(
             lambda w: self.eval_function(func_name, w, inputs))(state)
         res_fn = lambda w, x: self._norm_residuals(w, x)  # noqa: E731

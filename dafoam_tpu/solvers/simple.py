@@ -291,6 +291,29 @@ class DASimpleFoam(DASolverBase):
                               jnp.logical_not(ok))
 
     # ------------------------------------------------------------------
+    # adjoint preconditioner: reuse the segregated operators
+    # ------------------------------------------------------------------
+    def make_adjoint_pc(self, state, inputs):
+        from dafoam_tpu.adjoint.precond import make_block_pc
+
+        geom = self.geometry(inputs)
+        UEqn, U_bco = self._ueqn(state, inputs, geom, is_pc=True)
+        _, _, _, _, pM, _ = self._projection(state, inputs, geom, UEqn,
+                                             U_bco, state["U"])
+        mats = {"U": (UEqn, False), "p": (pM, True)}
+        if self.turb.model_states:
+            from dafoam_tpu.ops import bc as _bc
+            U_b = bc.boundary_value(U_bco, state["U"], self.topo)
+            gradU = fvc.grad(geom, self.topo, state["U"], U_b)
+            saM = self.turb._assemble(state, inputs, geom, state["phi"],
+                                      gradU)
+            mats["nuTilda"] = (saM, False)
+        iters = self.option["adjEqnOption"].get("pcInnerIters", 15)
+        return make_block_pc(mats, self.topo, geom,
+                             state_scales=self.state_scales(geom),
+                             iters=iters)
+
+    # ------------------------------------------------------------------
     # function context
     # ------------------------------------------------------------------
     def boundary_fields(self, state, inputs, geom):
