@@ -111,8 +111,59 @@ class MeshTopology:
         assert cover == self.n_boundary, (cover, self.n_boundary)
 
 
-def cells_to_faces(cell_faces: Sequence[Sequence[int]]) -> None:
-    raise NotImplementedError
+def build_topology(n_cells: int, n_points: int, internal_faces,
+                   patch_faces, patch_kinds=None) -> MeshTopology:
+    """Canonicalize a raw face soup into a MeshTopology.
+
+    internal_faces: list of (verts, owner, neighbour) with normal pointing
+    owner->neighbour (will be flipped/sorted into canonical order);
+    patch_faces: {name: [(verts, owner)]} with outward normals, in the
+    order patches should be laid out.
+    """
+    patch_kinds = patch_kinds or {}
+    fixed = []
+    for verts, own, nei in internal_faces:
+        if own > nei:
+            verts = list(verts)[::-1]
+            own, nei = nei, own
+        fixed.append((verts, own, nei))
+    fixed.sort(key=lambda t: (t[1], t[2]))
+
+    all_verts = [f[0] for f in fixed]
+    owner = [f[1] for f in fixed]
+    neighbour = [f[2] for f in fixed]
+    n_internal = len(fixed)
+
+    patches = []
+    start = n_internal
+    for name, faces in patch_faces.items():
+        patches.append(Patch(name=name, start=start, size=len(faces),
+                             kind=patch_kinds.get(name, "patch")))
+        for verts, own in faces:
+            all_verts.append(list(verts))
+            owner.append(own)
+        start += len(faces)
+
+    max_nv = max(len(v) for v in all_verts)
+    fv = np.zeros((len(all_verts), max_nv), dtype=np.int32)
+    fn = np.zeros((len(all_verts),), dtype=np.int32)
+    for i, v in enumerate(all_verts):
+        fv[i, : len(v)] = v
+        fv[i, len(v):] = v[0]
+        fn[i] = len(v)
+
+    topo = MeshTopology(
+        n_cells=n_cells,
+        n_points=n_points,
+        face_verts=fv,
+        face_nverts=fn,
+        owner=np.asarray(owner, dtype=np.int32),
+        neighbour=np.asarray(neighbour, dtype=np.int32),
+        n_internal=n_internal,
+        patches=tuple(patches),
+    )
+    topo.validate()
+    return topo
 
 
 def renumber_rcm(topo: MeshTopology) -> np.ndarray:

@@ -82,9 +82,29 @@ def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
     return m
 
 
+def _limit_correction(corr, orth, limit, psi):
+    """OpenFOAM limitedSnGrad limiter: scale the explicit non-orthogonal
+    correction so it never exceeds limit/(1-limit) x the orthogonal part —
+    unlimited corrections at high-non-orthogonality faces (sharp TE cells)
+    make the deferred-correction Picard iteration locally divergent and the
+    SIMPLE loop stalls in a limit cycle."""
+    if limit >= 1.0:
+        return corr
+    if psi.ndim == 2:
+        mag_c = jnp.linalg.norm(corr, axis=-1)
+        mag_o = jnp.linalg.norm(orth, axis=-1)
+    else:
+        mag_c = jnp.abs(corr)
+        mag_o = jnp.abs(orth)
+    lam = jnp.minimum(1.0, limit * mag_o
+                      / ((1.0 - limit) * mag_c + 1e-30))
+    return _rank_r(lam, psi) * corr
+
+
 def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
-              psi_b=None, grad_psi=None, grad_psi_b=None) -> FvMatrix:
-    """fvm::laplacian(gamma, psi).
+              psi_b=None, grad_psi=None, grad_psi_b=None,
+              limit: float = 0.5) -> FvMatrix:
+    """fvm::laplacian(gamma, psi)  — 'Gauss linear limited corrected <limit>'.
 
     gamma_f: (nf,) diffusivity already interpolated to faces.
     corrected: include explicit non-orthogonal correction (needs grad_psi;
@@ -120,6 +140,8 @@ def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
             grad_psi_b = grad_psi[topo.owner[ni:]]
         gf = fvc.interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]
         corr = jnp.einsum("fi,fi...->f...", geom.corr_vec[:ni], gf)
+        orth = _rank_r(dc, psi) * (psi[nei] - psi[own])
+        corr = _limit_correction(corr, orth, limit, psi)
         cflux = _rank_r(gamma_f[:ni] * geom.magsf[:ni], psi) * corr
         # add to owner, subtract from neighbour; goes to SOURCE with minus
         # (contribution(psi) = matvec - source must equal orth + corr)
@@ -136,7 +158,7 @@ def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
 
 
 def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
-                   grad_psi=None, grad_psi_b=None):
+                   grad_psi=None, grad_psi_b=None, limit: float = 0.5):
     """Implicit face flux of the laplacian matrix at the current psi —
     OpenFOAM ``pEqn.flux()`` (used for R_phi, DAResidualSimpleFoam.C:211)."""
     ni = topo.n_internal
@@ -144,6 +166,7 @@ def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
     nei = topo.neighbour
     dc = geom.nonorth_dc[:ni] if corrected else geom.delta_coeffs[:ni]
     coef = gamma_f[:ni] * geom.magsf[:ni] * dc
+    orth = dc * (psi[nei] - psi[own])
     fl_i = coef * (psi[nei] - psi[own])
     if corrected:
         if grad_psi is None:
@@ -154,6 +177,7 @@ def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
             grad_psi_b = grad_psi[topo.owner[ni:]]
         gf = fvc.interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]
         corr = jnp.einsum("fi,fi->f", geom.corr_vec[:ni], gf)
+        corr = _limit_correction(corr, orth, limit, psi)
         fl_i = fl_i + gamma_f[:ni] * geom.magsf[:ni] * corr
     own_b = topo.owner[ni:]
     fl_b = gamma_f[ni:] * geom.magsf[ni:] * bcoef.active \
