@@ -90,9 +90,11 @@ def _limit_correction(corr, orth, limit, psi):
     SIMPLE loop stalls in a limit cycle."""
     if limit >= 1.0:
         return corr
+    # NaN-safe norms: corr is exactly zero on orthogonal meshes and
+    # d|x|/dx at 0 is NaN through jnp.linalg.norm — guard inside the sqrt
     if psi.ndim == 2:
-        mag_c = jnp.linalg.norm(corr, axis=-1)
-        mag_o = jnp.linalg.norm(orth, axis=-1)
+        mag_c = jnp.sqrt(jnp.maximum(jnp.sum(corr * corr, -1), 1e-300))
+        mag_o = jnp.sqrt(jnp.maximum(jnp.sum(orth * orth, -1), 1e-300))
     else:
         mag_c = jnp.abs(corr)
         mag_o = jnp.abs(orth)
