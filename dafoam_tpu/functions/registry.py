@@ -198,6 +198,32 @@ def f_wall_heat_flux(cfg, ctx):
     return jnp.sum(q * geom.magsf[ni:] * mask)
 
 
+def f_von_mises_ks(cfg, ctx):
+    """KS-aggregated von Mises stress (reference DAFunctionVonMisesStressKS):
+    sigmaKS = log(sum(exp(coeffKS * sigma_vm))) / coeffKS."""
+    vm = ctx["aux"]["vonMises"]
+    rho = cfg.get("coeffKS", 2e-3)
+    m = jnp.max(vm)
+    return m + jnp.log(jnp.sum(jnp.exp(rho * (vm - m)))) / rho
+
+
+def f_mesh_quality_ks(cfg, ctx):
+    """KS-aggregated face non-orthogonality (reference
+    DAFunctionMeshQualityKS) — differentiable mesh-quality constraint."""
+    geom, topo = ctx["geom"], ctx["topo"]
+    ni = topo.n_internal
+    own = topo.owner[:ni]
+    d = geom.cc[topo.neighbour] - geom.cc[own]
+    nhat = geom.sf[:ni] / jnp.maximum(geom.magsf[:ni], 1e-300)[:, None]
+    cosang = jnp.einsum("fi,fi->f", nhat, d) \
+        / jnp.maximum(jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-300)),
+                      1e-300)
+    metric = jnp.rad2deg(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+    rho = cfg.get("coeffKS", 0.1)
+    m = jnp.max(metric)
+    return m + jnp.log(jnp.sum(jnp.exp(rho * (metric - m)))) / rho
+
+
 _REGISTRY = {
     "patchMean": f_patch_mean,
     "variableVolSum": f_variable_vol_sum,
@@ -209,6 +235,8 @@ _REGISTRY = {
     "residualNorm": f_residual_norm,
     "variance": f_variance,
     "wallHeatFlux": f_wall_heat_flux,
+    "vonMisesStressKS": f_von_mises_ks,
+    "meshQualityKS": f_mesh_quality_ks,
 }
 
 

@@ -109,8 +109,11 @@ class SpalartAllmaras(TurbulenceModel):
         return {"nuTilda": fvx.residual(M, state["nuTilda"], geom, self.topo)}
 
     def correct(self, state, inputs, geom, phi, gradU=None,
-                rel_tol=0.1, max_iters=100, relax=0.7):
+                rel_tol=0.1, max_iters=100, relax=0.7, dt=None, old=None):
+        from dafoam_tpu.ops import fvm as _fvm
         M = self._assemble(state, inputs, geom, phi, gradU)
+        if dt is not None:
+            M = M + _fvm.ddt(geom, self.topo, state["nuTilda"], old, dt)
         M = fvx.relax(M, state["nuTilda"], relax, self.topo)
         sol, _ = fvsolve.solve(M, state["nuTilda"], self.topo,
                                symmetric=False, rel_tol=rel_tol,

@@ -2,6 +2,8 @@ from dafoam_tpu.solvers.base import DASolverBase, PrimalInfo
 from dafoam_tpu.solvers.scalar_transport import DAScalarTransportFoam
 from dafoam_tpu.solvers.heat_transfer import DAHeatTransferFoam
 from dafoam_tpu.solvers.simple import DASimpleFoam
+from dafoam_tpu.solvers.pimple import DAPimpleFoam
+from dafoam_tpu.solvers.solid import DASolidDisplacementFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -22,7 +24,8 @@ def make_solver(option, topo, points):
     return _SOLVER_REGISTRY[name](opt, topo, points)
 
 
-for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam):
+for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
+           DAPimpleFoam, DASolidDisplacementFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",

@@ -1,0 +1,86 @@
+"""DAPimpleFoam: unsteady primal (lax.scan) + time-accurate adjoint
+(reverse scan) vs FD — the reference's unsteady machinery (SURVEY.md §3.5),
+with DATimeOp 'average' reduction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dafoam_tpu.mesh import box_hex_mesh
+from dafoam_tpu.solvers import make_solver
+
+
+def cavity_unsteady():
+    n = 8
+    pts, topo = box_hex_mesh(n, n, 1, (0.1, 0.1, 0.01),
+                             kinds={"zmin": "empty", "zmax": "empty",
+                                    "xmin": "wall", "xmax": "wall",
+                                    "ymin": "wall", "ymax": "wall"})
+    zero = [0.0, 0.0, 0.0]
+    opts = {
+        "solverName": "DAPimpleFoam",
+        "turbulenceModel": "None",
+        "transportProperties": {"nu": 0.01},
+        "deltaT": 0.02, "endTime": 0.1,
+        "pimple": {"nOuterCorrectors": 6, "nCorrectors": 2},
+        "boundaryConditions": {
+            "U": {"ymax": {"type": "fixedValue", "value": [1.0, 0.0, 0.0]},
+                  "ymin": {"type": "fixedValue", "value": zero},
+                  "xmin": {"type": "fixedValue", "value": zero},
+                  "xmax": {"type": "fixedValue", "value": zero}},
+            "p": {k: {"type": "zeroGradient"}
+                  for k in ("xmin", "xmax", "ymin", "ymax")},
+        },
+        "initialFields": {"U": zero, "p": 0.0},
+        "function": {
+            "lidF": {"type": "force", "patches": ["ymax"],
+                     "directionMode": "fixedDirection",
+                     "direction": [1.0, 0.0, 0.0], "scale": 1.0,
+                     "timeOp": "average", "timeOpFracStart": 0.4},
+        },
+        "adjEqnOption": {"gmresRelTol": 1e-11, "gmresRestart": 200,
+                         "gmresMaxIters": 1000, "pcType": "none"},
+        "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0},
+    }
+    solver = make_solver(opts, topo, pts)
+    return solver, solver.make_inputs()
+
+
+@pytest.fixture(scope="module")
+def case():
+    solver, inputs = cavity_unsteady()
+    hist_fn = jax.jit(solver.solve_primal_history)
+    stT, hist = hist_fn(solver.init_state(), inputs)
+    return solver, inputs, stT, hist, hist_fn
+
+
+def test_unsteady_primal(case):
+    solver, inputs, stT, hist, _ = case
+    assert bool(solver.states_valid(stT))
+    # per-step residual small (PIMPLE converged within the step)
+    W_old = jax.tree_util.tree_map(lambda a: a[-2], hist)
+    r = solver.residuals_unsteady(stT, W_old, W_old, inputs)
+    assert float(jnp.abs(r["U"]).max()) < 5e-3
+    # the flow spins up: lid force magnitude decreases toward steady state
+    _, vals = solver.eval_function_history("lidF", hist, inputs)
+    v = np.abs(np.asarray(vals))
+    assert v[0] > v[-1]
+
+
+def test_unsteady_adjoint_vs_fd(case):
+    solver, inputs, stT, hist, hist_fn = case
+    adj = jax.jit(lambda h, i: solver.solve_unsteady_adjoint(h, i, "lidF"))
+    tot, resids = adj(hist, inputs)
+    assert np.asarray(resids).max() < 1e-10
+    dnu = float(tot["params"]["nu"])
+
+    def runJ(nu):
+        inp = jax.tree_util.tree_map(lambda x: x, inputs)
+        inp["params"]["nu"] = jnp.asarray(nu, solver.dtype)
+        _, h = hist_fn(solver.init_state(), inp)
+        return float(solver.eval_function_history("lidF", h, inp)[0])
+
+    eps = 1e-6
+    fd = (runJ(0.01 + eps) - runJ(0.01 - eps)) / (2 * eps)
+    assert dnu == pytest.approx(fd, rel=2e-5), (dnu, fd)
