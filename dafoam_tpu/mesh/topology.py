@@ -97,6 +97,45 @@ class MeshTopology:
     def boundary_owner(self) -> np.ndarray:
         return self.owner[self.n_internal:]
 
+    def ell(self):
+        """Gather-form (ELL) cell-to-face adjacency for TPU matvecs.
+
+        Scatter-adds serialize on TPU; the LDU matvec is reformulated as
+        per-row GATHERS: for each cell, up to K incident internal faces
+        with (face id, neighbour cell, owner? flag). Padded rows point at
+        face 0 with weight 0. Cached on first use (static topology).
+
+        Returns (face_id (nc,K) i32, col (nc,K) i32, is_owner (nc,K) f32
+        in {0,1}, valid (nc,K) f32).
+        """
+        cached = getattr(self, "_ell_cache", None)
+        if cached is not None:
+            return cached
+        nc = self.n_cells
+        ni = self.n_internal
+        own = self.owner[:ni]
+        nei = self.neighbour
+        deg = np.zeros(nc, dtype=np.int64)
+        np.add.at(deg, own, 1)
+        np.add.at(deg, nei, 1)
+        K = int(deg.max()) if nc else 0
+        face_id = np.zeros((nc, K), dtype=np.int32)
+        col = np.zeros((nc, K), dtype=np.int32)
+        is_owner = np.zeros((nc, K), dtype=np.float64)
+        valid = np.zeros((nc, K), dtype=np.float64)
+        slot = np.zeros(nc, dtype=np.int64)
+        for f in range(ni):
+            c, d = own[f], nei[f]
+            s = slot[c]
+            face_id[c, s], col[c, s], is_owner[c, s], valid[c, s] = f, d, 1.0, 1.0
+            slot[c] += 1
+            s = slot[d]
+            face_id[d, s], col[d, s], is_owner[d, s], valid[d, s] = f, c, 0.0, 1.0
+            slot[d] += 1
+        object.__setattr__(self, "_ell_cache",
+                           (face_id, col, is_owner, valid))
+        return self._ell_cache
+
     def validate(self) -> None:
         nf = self.n_faces
         assert self.face_verts.shape[0] == nf

@@ -1,10 +1,12 @@
 from dafoam_tpu.models.base import TurbulenceModel, Laminar
 from dafoam_tpu.models.spalart_allmaras import SpalartAllmaras
+from dafoam_tpu.models.komega_sst import KOmegaSST
 
 _TURB_REGISTRY = {
     "None": Laminar,
     "laminar": Laminar,
     "SpalartAllmaras": SpalartAllmaras,
+    "kOmegaSST": KOmegaSST,
 }
 
 
@@ -23,5 +25,5 @@ def register_turbulence_model(name, cls):
     _TURB_REGISTRY[name] = cls
 
 
-__all__ = ["TurbulenceModel", "Laminar", "SpalartAllmaras",
+__all__ = ["TurbulenceModel", "Laminar", "SpalartAllmaras", "KOmegaSST",
            "make_turbulence_model", "register_turbulence_model"]

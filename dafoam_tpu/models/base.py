@@ -67,16 +67,24 @@ class TurbulenceModel:
         return jnp.asarray(m, dtype)
 
     # -- momentum stress term -----------------------------------------
+    def nut_with_grad(self, state, inputs, geom, gradU):
+        """nut given the velocity gradient (SST's strain-limited form
+        overrides this; default ignores gradU)."""
+        return self.nut(state, inputs, geom)
+
     def divdevreff(self, U, state, inputs, geom, U_bco) -> fvx.FvMatrix:
         """-laplacian(nuEff, U) - div(nuEff dev2(T(grad U))) as an FvMatrix
         (implicit laplacian + explicit transpose/deviatoric part), matching
         the role of daTurb_->divDevReff(U) in DAResidualSimpleFoam.C:145."""
         topo = self.topo
-        nu_eff_f, nu_eff, nu_eff_b = self.nu_eff_faces(state, inputs, geom)
-        M = -fvm.laplacian(geom, topo, nu_eff_f, U, U_bco)
-        # explicit: -div( nuEff * dev2(gradU^T) )
         U_b = bc.boundary_value(U_bco, U, topo)
         gradU = fvc.grad(geom, topo, U, U_b)           # (nc,3,3) d_i U_j
+        nu = self.nu(inputs)
+        nu_eff = self.nut_with_grad(state, inputs, geom, gradU) + nu
+        nu_eff_b = self.nut_boundary(state, inputs, geom) + nu
+        nu_eff_f = fvc.interpolate(geom, topo, nu_eff, nu_eff_b)
+        M = -fvm.laplacian(geom, topo, nu_eff_f, U, U_bco)
+        # explicit: -div( nuEff * dev2(gradU^T) )
         ni = topo.n_internal
         own_b = topo.owner[ni:]
         # boundary gradient: replace normal component with BC snGrad
@@ -101,6 +109,10 @@ class TurbulenceModel:
 
     # -- model transport ----------------------------------------------
     def residuals(self, state, inputs, geom, phi) -> dict:
+        return {}
+
+    def pc_matrices(self, state, inputs, geom, phi, gradU) -> dict:
+        """{state_name: (FvMatrix, symmetric)} for the adjoint block PC."""
         return {}
 
     def correct(self, state, inputs, geom, phi, rel_tol=0.1, max_iters=100):

@@ -34,7 +34,9 @@ class SpalartAllmaras(TurbulenceModel):
 
     def __init__(self, topo, option, wall_dist=None, bc_spec=None):
         super().__init__(topo, option, wall_dist)
-        self.bc_spec = bc_spec or {}
+        bc_spec = bc_spec or {}
+        # accept either the full boundaryConditions spec or the nuTilda one
+        self.bc_spec = bc_spec.get("nuTilda", bc_spec)
 
     # ------------------------------------------------------------------
     def _chi_fv1(self, nuTilda, nu):
@@ -100,6 +102,10 @@ class SpalartAllmaras(TurbulenceModel):
         else:
             M = M.add_source(-CW1 * fw * (nuTilda / d) ** 2 * geom.vol)
         return M
+
+    def pc_matrices(self, state, inputs, geom, phi, gradU):
+        return {"nuTilda": (self._assemble(state, inputs, geom, phi, gradU),
+                            False)}
 
     # ------------------------------------------------------------------
     def residuals(self, state, inputs, geom, phi, gradU=None):

@@ -91,6 +91,19 @@ def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
             g = _expand(values.get(p.name, 0.0), n, rank, dtype)
             vc, vb = one, g / dc_b
             gc, gb = zero, g
+        elif btype == "mixed":
+            # Robin BC (OpenFOAM mixedFvPatchField): used by the CHT
+            # coupling protocol (reference DAInputThermalCoupling.C:76-148:
+            # valueFraction = K_nei/(K_my+K_nei)).
+            # values[patch] = {"refValue": .., "refGrad": .., "valueFraction": ..}
+            v = values.get(p.name, {})
+            rv = _expand(v.get("refValue", 0.0), n, rank, dtype)
+            rg = _expand(v.get("refGrad", 0.0), n, rank, dtype)
+            vf = _expand(v.get("valueFraction", 1.0), n, rank, dtype)
+            vc = (1.0 - vf) * one
+            vb = vf * rv + (1.0 - vf) * rg / dc_b
+            gc = -vf * dc_b
+            gb = vf * rv * dc_b + (1.0 - vf) * rg
         elif btype == "inletOutlet":
             if phi_b is None:
                 raise ValueError("inletOutlet BC needs phi_b")

@@ -187,6 +187,24 @@ def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
     return jnp.concatenate([fl_i, fl_b])
 
 
+def div_flux(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind"):
+    """Implicit face flux of the convection matrix at the current psi:
+    phi_f * psi_f(scheme) — the div-part of fvMatrix::flux() needed by
+    transonic pressure equations (reference DARhoSimpleCFoam)."""
+    ni = topo.n_internal
+    phi_i = phi_f[:ni]
+    if scheme == "upwind":
+        w = (phi_i >= 0.0).astype(psi.dtype)
+    else:
+        w = geom.weights[:ni]
+    own = topo.owner[:ni]
+    nei = topo.neighbour
+    fl_i = phi_i * (w * psi[own] + (1.0 - w) * psi[nei])
+    own_b = topo.owner[ni:]
+    fl_b = phi_f[ni:] * bcoef.active * (bcoef.vc * psi[own_b] + bcoef.vb)
+    return jnp.concatenate([fl_i, fl_b])
+
+
 def Sp(geom, topo, coef, psi) -> FvMatrix:
     """fvm::Sp(coef, psi): implicit source, diag += coef * V."""
     ni = topo.n_internal

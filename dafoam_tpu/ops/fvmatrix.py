@@ -80,12 +80,21 @@ def _face_term(coef, psi_vals):
 
 
 def offdiag_matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
-    ni = topo.n_internal
-    own = topo.owner[:ni]
-    nei = topo.neighbour
-    out = scatter_add(_face_term(m.upper, psi[nei]), own, topo.n_cells, sorted=True)
-    out = out + scatter_add(_face_term(m.lower, psi[own]), nei, topo.n_cells)
-    return out
+    """Off-diagonal LDU product in GATHER (ELL) form.
+
+    TPU-first: scatter-adds serialize on the VPU, so the Krylov-loop matvec
+    gathers per-row instead — row c sums coeff(c,k) * psi[col(c,k)] over
+    its <=K incident faces (owner rows read `upper`, neighbour rows read
+    `lower`). Pure gathers vectorize; this is the hot op of every inner
+    linear solve and of the adjoint transposed products."""
+    face_id, col, is_owner, valid = topo.ell()
+    coef = jnp.where(jnp.asarray(is_owner, m.upper.dtype) > 0.5,
+                     m.upper[face_id], m.lower[face_id])
+    coef = coef * jnp.asarray(valid, coef.dtype)
+    pv = psi[col]                      # (nc, K) or (nc, K, 3)
+    if psi.ndim == 2:
+        return jnp.einsum("ck,cki->ci", coef, pv)
+    return jnp.einsum("ck,ck->c", coef, pv)
 
 
 def matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:

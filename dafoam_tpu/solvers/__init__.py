@@ -4,6 +4,7 @@ from dafoam_tpu.solvers.heat_transfer import DAHeatTransferFoam
 from dafoam_tpu.solvers.simple import DASimpleFoam
 from dafoam_tpu.solvers.pimple import DAPimpleFoam
 from dafoam_tpu.solvers.solid import DASolidDisplacementFoam
+from dafoam_tpu.solvers.rho_simple import DARhoSimpleFoam, DARhoSimpleCFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -25,7 +26,8 @@ def make_solver(option, topo, points):
 
 
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
-           DAPimpleFoam, DASolidDisplacementFoam):
+           DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
+           DARhoSimpleCFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",

@@ -35,6 +35,11 @@ class DAHeatTransferFoam(DASolverBase):
         q = inputs["params"].get("heatSource")
         if q is not None:
             M = M.add_source(jnp.broadcast_to(q, geom.vol.shape) * geom.vol)
+        if self.option.get("fvSource"):
+            from dafoam_tpu.fvsource import compute_heat_source
+            qs = compute_heat_source(self.option, inputs, geom, self.dtype)
+            if qs is not None:
+                M = M.add_source(qs * geom.vol)
         return M
 
     def residuals(self, state, inputs):
@@ -81,3 +86,13 @@ class DAHeatTransferFoam(DASolverBase):
         if k is not None and jnp.ndim(k) > 0:
             out["kappa"] = k
         return out
+
+    def thermal_conductance(self, state, inputs, geom):
+        """(nb,) conductivity at boundary-face owners — the kappa part of
+        the CHT protocol (reference DAOutputThermalCoupling.C:94-149)."""
+        import jax.numpy as jnp
+        k = inputs["params"]["kappa"]
+        own_b = self.topo.owner[self.topo.n_internal:]
+        if jnp.ndim(k) == 0:
+            return jnp.full((self.topo.n_boundary,), k, self.dtype)
+        return k[own_b]

@@ -60,7 +60,7 @@ class DASimpleFoam(DASolverBase):
         self.wall_dist = jnp.asarray(wd, self.dtype)
         self.turb = make_turbulence_model(
             turb_name, topo, self.option, wall_dist=self.wall_dist,
-            bc_spec=self.bc_spec.get("nuTilda", {})) \
+            bc_spec=self.bc_spec) \
             if turb_name not in ("None", "laminar") else \
             make_turbulence_model(turb_name, topo, self.option,
                                   wall_dist=self.wall_dist)
@@ -108,6 +108,12 @@ class DASimpleFoam(DASolverBase):
         M = fvm.div(geom, self.topo, phi, U, U_bco, scheme=scheme,
                     bounded=True) \
             + self.turb.divdevreff(U, state, inputs, geom, U_bco)
+        if self.option.get("fvSource"):
+            from dafoam_tpu.fvsource import compute_fv_source
+            src = compute_fv_source(self.option, inputs, geom, self.dtype)
+            if src is not None:
+                # UEqn: ... - fvSource  (reference UEqnSimple.H)
+                M = M.add_source(src * geom.vol[:, None])
         alpha = self.option["relaxationFactors"]["equations"].get("U", 0.7)
         M = fvx.relax(M, U, alpha, self.topo)
         return M, U_bco
@@ -302,12 +308,10 @@ class DASimpleFoam(DASolverBase):
                                              U_bco, state["U"])
         mats = {"U": (UEqn, False), "p": (pM, True)}
         if self.turb.model_states:
-            from dafoam_tpu.ops import bc as _bc
             U_b = bc.boundary_value(U_bco, state["U"], self.topo)
             gradU = fvc.grad(geom, self.topo, state["U"], U_b)
-            saM = self.turb._assemble(state, inputs, geom, state["phi"],
-                                      gradU)
-            mats["nuTilda"] = (saM, False)
+            mats.update(self.turb.pc_matrices(state, inputs, geom,
+                                              state["phi"], gradU))
         iters = self.option["adjEqnOption"].get("pcInnerIters", 15)
         return make_block_pc(mats, self.topo, geom,
                              state_scales=self.state_scales(geom),

@@ -88,5 +88,5 @@ def test_naca_shape_optimization_reduces_drag():
     assert g[1] == pytest.approx(fd, rel=5e-3), (g[1], fd)
 
     res = prob.run(np.zeros(n_dv),
-                   bounds=[(-0.02, 0.02)] * n_dv, maxiter=4)
+                   bounds=[(-0.02, 0.02)] * n_dv, maxiter=2)
     assert res.fun < CD0 - 1e-5, (res.fun, CD0)
