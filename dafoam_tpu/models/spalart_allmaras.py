@@ -37,6 +37,10 @@ class SpalartAllmaras(TurbulenceModel):
         bc_spec = bc_spec or {}
         # accept either the full boundaryConditions spec or the nuTilda one
         self.bc_spec = bc_spec.get("nuTilda", bc_spec)
+        # field-inversion production multiplier beta(W; theta) — set by the
+        # owning solver when a betaFI field or a regression model is
+        # configured (reference DARegression / DAInputField betaFI path)
+        self.beta_fn = None
 
     # ------------------------------------------------------------------
     def _chi_fv1(self, nuTilda, nu):
@@ -95,6 +99,8 @@ class SpalartAllmaras(TurbulenceModel):
         cross = CB2 / SIGMA_NUT * jnp.sum(gn * gn, axis=-1)
         stilda, fw, d = self._stilda_fw(state, inputs, geom, gradU)
         prod = CB1 * stilda * nuTilda
+        if self.beta_fn is not None:
+            prod = prod * self.beta_fn(state, inputs, geom, gradU)
         # sources on RHS: cross-diffusion + production
         M = M.add_source((cross + prod) * geom.vol)
         if implicit_pd:

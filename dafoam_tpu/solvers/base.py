@@ -142,7 +142,8 @@ class DASolverBase:
                "boundary": self.boundary_fields(state, inputs, geom),
                "phi": state.get("phi", jnp.zeros((self.topo.n_faces,),
                                                  self.dtype)),
-               "aux": self.aux_fields(state, inputs, geom)}
+               "aux": self.aux_fields(state, inputs, geom),
+               "data": inputs.get("data", {})}
         if with_residuals:
             ctx["residuals"] = self.residuals(state, inputs)
         return ctx

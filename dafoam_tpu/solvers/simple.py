@@ -82,6 +82,54 @@ class DASimpleFoam(DASolverBase):
         self._fixed_flux_b = jnp.asarray(fixed, self.dtype)
         self._user_bounds = (option.get("primalVarBounds", {})
                              if isinstance(option, dict) else {})
+        # field inversion / data-driven turbulence: beta multiplier on the
+        # SA production (reference DARegression + betaFI `field` input)
+        if hasattr(self.turb, "beta_fn"):
+            rm = self.option.get("regressionModel", {})
+            if rm.get("active") or True:  # cheap: checks inputs at runtime
+                self.turb.beta_fn = self._compute_beta
+
+    def regression_n_params(self, model_name):
+        from dafoam_tpu import regression
+        cfg = self.option["regressionModel"][model_name]
+        if cfg.get("modelType", "neuralNetwork") == "neuralNetwork":
+            return regression.nn_sizes(cfg["hiddenLayerNeurons"],
+                                       len(cfg["inputNames"]))
+        return 2 * cfg["nRBFs"] * len(cfg["inputNames"]) + cfg["nRBFs"]
+
+    def _compute_beta(self, state, inputs, geom, gradU):
+        """beta(W; theta): product of an optional betaFI cell field and any
+        active regression models (reference DARegression.compute)."""
+        from dafoam_tpu import regression
+
+        beta = None
+        bfi = inputs["params"].get("betaFI")
+        if bfi is not None:
+            beta = bfi
+        rm = self.option.get("regressionModel", {})
+        reg_par = inputs["params"].get("regressionPar", {})
+        if rm.get("active"):
+            p = state["p"]
+            p_bco = self._bco_p(p, inputs, geom, state["phi"])
+            p_b = bc.boundary_value(p_bco, p, self.topo)
+            fctx = {"U": state["U"], "gradU": gradU, "p": p,
+                    "gradp": fvc.grad(geom, self.topo, p, p_b),
+                    "nuTilda": state.get("nuTilda"),
+                    "nut": self.turb.nut(state, inputs, geom),
+                    "nu": inputs["params"]["nu"] * jnp.ones_like(p),
+                    "wall_dist": self.wall_dist,
+                    "k": state.get("k")}
+            for name, cfg in rm.items():
+                if name == "active" or not isinstance(cfg, dict):
+                    continue
+                theta = reg_par.get(name)
+                if theta is None:
+                    continue
+                b = regression.evaluate(cfg, theta, fctx)
+                beta = b if beta is None else beta * b
+        if beta is None:
+            return 1.0
+        return beta
 
     # ------------------------------------------------------------------
     # BC helpers
