@@ -46,15 +46,43 @@ class TurbulenceModel:
         nu_eff_b = self.nut_boundary(state, inputs, geom) + nu
         return fvc.interpolate(geom, self.topo, nu_eff, nu_eff_b), nu_eff, nu_eff_b
 
+    def setup_wall_functions(self, full_bc_spec):
+        """Enable Spalding wall functions on patches whose `nut` BC type is
+        nutUSpaldingWallFunction (reference DAMisc
+        nutUSpaldingWallFunctionDF)."""
+        import numpy as np
+
+        spec = full_bc_spec.get("nut", {})
+        ni = self.topo.n_internal
+        m = np.zeros((self.topo.n_faces - ni,))
+        for p in self.topo.patches:
+            if spec.get(p.name, {}).get("type") == "nutUSpaldingWallFunction":
+                m[p.start - ni:p.start - ni + p.size] = 1.0
+        self._wf_mask = m if m.any() else None
+
     def nut_boundary(self, state, inputs, geom):
-        """Boundary nut (wall functions later; low-Re default: owner value,
-        zero at walls)."""
+        """Boundary nut: owner value off-wall; at walls zero (low-Re) or
+        Spalding wall-function value where configured."""
         ni = self.topo.n_internal
         nut = self.nut(state, inputs, geom)
-        nut_b = nut[self.topo.owner[ni:]]
-        # low-Re: nut -> 0 at walls
+        own_b = self.topo.owner[ni:]
+        nut_b = nut[own_b]
         wall = self._wall_mask(geom.magsf.dtype)
-        return nut_b * (1.0 - wall)
+        out = nut_b * (1.0 - wall)
+        wf = getattr(self, "_wf_mask", None)
+        if wf is not None and "U" in state:
+            from dafoam_tpu.models.wallfunctions import spalding_nut_wall
+
+            U = state["U"]
+            nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:],
+                                              1e-300)[:, None]
+            Uo = U[own_b]
+            Ut = Uo - jnp.einsum("fi,fi->f", Uo, nhat)[:, None] * nhat
+            mag_ut = jnp.sqrt(jnp.maximum(jnp.sum(Ut * Ut, -1), 1e-300))
+            y = 1.0 / jnp.maximum(geom.nonorth_dc[ni:], 1e-300)
+            nut_wf = spalding_nut_wall(mag_ut, y, self.nu(inputs))
+            out = jnp.where(jnp.asarray(wf, out.dtype) > 0.5, nut_wf, out)
+        return out
 
     def _wall_mask(self, dtype):
         import numpy as np

@@ -57,6 +57,7 @@ class DARhoSimpleFoam(DASolverBase):
                 bc_spec=self.bc_spec)
         self._user_bounds = (option.get("primalVarBounds", {})
                              if isinstance(option, dict) else {})
+        self.turb.setup_wall_functions(self.bc_spec)
 
     # -- thermo ----------------------------------------------------------
     def _thermo(self, inputs):

@@ -49,7 +49,11 @@ class DASimpleFoam(DASolverBase):
         # DAStateInfoSimpleFoam registers U,p,phi + model states)
         from dafoam_tpu.models import _TURB_REGISTRY
         model_states = _TURB_REGISTRY[turb_name].model_states
-        self.state_info = StateInfo(vol_vector=("U",), vol_scalar=("p",),
+        # optional passive temperature field (reference hasTField,
+        # DAResidualSimpleFoam.C:50 / :215-236) — enables aerothermal CHT
+        self.has_T = "T" in opt.get("boundaryConditions", {})
+        vol_scalar = ("p", "T") if self.has_T else ("p",)
+        self.state_info = StateInfo(vol_vector=("U",), vol_scalar=vol_scalar,
                                     model=tuple(model_states),
                                     surface_scalar=("phi",))
         super().__init__(opt, topo, points)
@@ -82,6 +86,7 @@ class DASimpleFoam(DASolverBase):
         self._fixed_flux_b = jnp.asarray(fixed, self.dtype)
         self._user_bounds = (option.get("primalVarBounds", {})
                              if isinstance(option, dict) else {})
+        self.turb.setup_wall_functions(self.bc_spec)
         # field inversion / data-driven turbulence: beta multiplier on the
         # SA production (reference DARegression + betaFI `field` input)
         if hasattr(self.turb, "beta_fn"):
@@ -220,6 +225,38 @@ class DASimpleFoam(DASolverBase):
     # ------------------------------------------------------------------
     # residuals (adjoint)
     # ------------------------------------------------------------------
+    def _teqn_simple(self, state, inputs, geom):
+        """Passive temperature transport: div(phi,T) - laplacian(alphaEff,T)
+        with alphaEff = nu/Pr + nut/Prt (reference
+        DAResidualSimpleFoam.C:215-236)."""
+        topo = self.topo
+        T, phi = state["T"], state["phi"]
+        prm = inputs["params"]
+        Pr = prm.get("Pr", 0.7)
+        Prt = prm.get("Prt", 0.85)
+        nu = prm["nu"]
+        T_bco = bc.coeffs(self.bc_spec["T"], inputs["bc"].get("T", {}),
+                          topo, geom, T, rank=0,
+                          phi_b=phi[topo.n_internal:])
+        alpha_eff = nu / Pr + self.turb.nut(state, inputs, geom) / Prt
+        alpha_b = nu / Pr + self.turb.nut_boundary(state, inputs, geom) / Prt
+        alpha_f = fvc.interpolate(geom, topo, alpha_eff, alpha_b)
+        M = fvm.div(geom, topo, phi, T, T_bco, scheme="upwind",
+                    bounded=True) \
+            - fvm.laplacian(geom, topo, alpha_f, T, T_bco)
+        return M, T_bco
+
+    def thermal_conductance(self, state, inputs, geom):
+        """(nb,) Cp*alphaEff at boundary owners — the kappa piece of the
+        CHT protocol, incompressible side (DAOutputThermalCoupling.C:94)."""
+        prm = inputs["params"]
+        Cp = prm.get("Cp", 1004.5)
+        nu = prm["nu"]
+        Pr = prm.get("Pr", 0.7)
+        Prt = prm.get("Prt", 0.85)
+        alpha_b = nu / Pr + self.turb.nut_boundary(state, inputs, geom) / Prt
+        return Cp * alpha_b
+
     def residuals(self, state, inputs):
         geom = self.geometry(inputs)
         topo = self.topo
@@ -238,6 +275,9 @@ class DASimpleFoam(DASolverBase):
         r_phi = phiHbyA - p_flux - phi
 
         out = {"U": r_U, "p": r_p, "phi": r_phi}
+        if self.has_T:
+            TEqn, _ = self._teqn_simple(state, inputs, geom)
+            out["T"] = fvx.residual(TEqn, state["T"], geom, topo)
         if self.turb.model_states:
             U_b = bc.boundary_value(U_bco, U, topo)
             gradU = fvc.grad(geom, topo, U, U_b)
@@ -324,6 +364,16 @@ class DASimpleFoam(DASolverBase):
                     rel_tol=lin["turbRelTol"], max_iters=lin["turbMaxIters"],
                     relax=relax_t)
 
+            if self.has_T:
+                TEqn, _ = self._teqn_simple(new_state, inputs, geom)
+                alphaT = opt["relaxationFactors"]["equations"].get("T", 0.7)
+                TEqn_r = fvx.relax(TEqn, new_state["T"], alphaT, topo)
+                T_new, _ = fvsolve.solve(TEqn_r, new_state["T"], topo,
+                                         symmetric=False,
+                                         rel_tol=lin["turbRelTol"],
+                                         max_iters=lin["turbMaxIters"])
+                new_state = dict(new_state, T=self._bound("T", T_new))
+
             return new_state, jnp.maximum(res_U, res_p)
 
         def cond(c):
@@ -373,8 +423,14 @@ class DASimpleFoam(DASolverBase):
         U, p, phi = state["U"], state["p"], state["phi"]
         U_bco = self._bco_U(U, inputs, geom, phi)
         p_bco = self._bco_p(p, inputs, geom, phi)
-        return {"U": bc.boundary_value(U_bco, U, topo),
-                "p": bc.boundary_value(p_bco, p, topo)}
+        out = {"U": bc.boundary_value(U_bco, U, topo),
+               "p": bc.boundary_value(p_bco, p, topo)}
+        if self.has_T:
+            T_bco = bc.coeffs(self.bc_spec["T"], inputs["bc"].get("T", {}),
+                              topo, geom, state["T"], rank=0,
+                              phi_b=phi[topo.n_internal:])
+            out["T"] = bc.boundary_value(T_bco, state["T"], topo)
+        return out
 
     def function_ctx(self, state, inputs, with_residuals=False):
         ctx = super().function_ctx(state, inputs, with_residuals)
