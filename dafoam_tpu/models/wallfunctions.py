@@ -24,11 +24,15 @@ KAPPA = 0.41
 E_WALL = 9.8
 
 
-def spalding_utau(mag_up, y, nu, iters=20):
+def spalding_utau(mag_up, y, nu, iters=30):
     """Newton solve for u_tau per wall face. All args (nw,) arrays."""
     mag_up = jnp.maximum(mag_up, 1e-12)
-    # initial guess: blend of viscous and log estimates
-    ut0 = jnp.sqrt(nu * mag_up / y)
+    # initial guess: max of viscous and log-law estimates — from below,
+    # in the exp-dominated branch, Newton creeps linearly and stalls
+    ut_vis = jnp.sqrt(nu * mag_up / y)
+    re_y = jnp.maximum(E_WALL * y * mag_up / nu, 2.0)
+    ut_log = KAPPA * mag_up / jnp.log(re_y)
+    ut0 = jnp.maximum(ut_vis, ut_log)
 
     def f_and_df(ut):
         ut = jnp.maximum(ut, 1e-12)
