@@ -1,12 +1,15 @@
 from dafoam_tpu.models.base import TurbulenceModel, Laminar
 from dafoam_tpu.models.spalart_allmaras import SpalartAllmaras
 from dafoam_tpu.models.komega_sst import KOmegaSST
+from dafoam_tpu.models.ktwoeq import KEpsilon, KOmega
 
 _TURB_REGISTRY = {
     "None": Laminar,
     "laminar": Laminar,
     "SpalartAllmaras": SpalartAllmaras,
     "kOmegaSST": KOmegaSST,
+    "kEpsilon": KEpsilon,
+    "kOmega": KOmega,
 }
 
 
