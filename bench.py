@@ -1,14 +1,22 @@
-"""Benchmark: SIMPLE incompressible primal throughput + adjoint solve.
+"""Benchmark: NACA0012 SA-RANS primal + adjoint wall-clock (north star).
 
-Runs the flagship DASimpleFoam case on the default JAX platform (the real
-TPU chip under the driver; CPU if forced) in float32 and reports
-cell-iterations/second for the fully fused, device-resident SIMPLE loop.
+Runs the flagship DASimpleFoam + SpalartAllmaras O-mesh case on the default
+JAX platform (the real TPU chip under the driver) in float32, with FIXED
+iteration counts so the timing is tolerance-independent across precisions:
 
-Baseline: the reference (mdolab/dafoam) publishes no benchmark numbers
-(SURVEY.md §6, BASELINE.json published: {}). For vs_baseline we use a
-documented nominal: OpenFOAM-class SIMPLE solvers sustain ~5e4
-cell-iterations/s/rank; the north-star comparison target is 64 MPI ranks
-=> 3.2e6 cell-iters/s.
+  - primal: BENCH_ITERS fused SIMPLE iterations (one lax.while_loop)
+  - adjoint: one FGMRES solve with fixed restart/iteration budget
+
+and reports total cell-iterations/second (primal sweep + adjoint matvecs
+weighted 1:1).
+
+Baseline: the reference publishes no numbers (SURVEY.md §6, BASELINE.json
+published: {}). vs_baseline uses the documented nominal of 5e4
+cell-iterations/s/rank x 64 MPI ranks = 3.2e6 for an OpenFOAM-class SIMPLE
+solver — the north-star comparison target (BASELINE.json: "v5e-8 faster
+than 64-rank MPI DAFoam").
+
+Env knobs: BENCH_NW/BENCH_NR (mesh), BENCH_ITERS, BENCH_CASE=naca|cavity.
 """
 
 import json
@@ -16,19 +24,87 @@ import os
 import sys
 import time
 
-REF_CELL_ITERS_PER_SEC = 3.2e6  # 64-rank MPI DAFoam-class nominal
+REF_CELL_ITERS_PER_SEC = 3.2e6
 
-def main():
+
+def run_naca(nw, nr, iters):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
     import jax.numpy as jnp
+
+    from dafoam_tpu.mesh.airfoil import omesh_naca0012
+    from dafoam_tpu.solvers import make_solver
+
+    nu = 1e-3
+    uinf = [1.0, 0.0, 0.0]
+    pts, topo = omesh_naca0012(n_wrap=nw, n_radial=nr, radius=15.0,
+                               first_cell=4e-3)
+    opts = {
+        "solverName": "DASimpleFoam",
+        "turbulenceModel": "SpalartAllmaras",
+        "transportProperties": {"nu": nu},
+        "boundaryConditions": {
+            "U": {"far": {"type": "inletOutlet", "value": uinf},
+                  "wing": {"type": "fixedValue", "value": [0.0, 0.0, 0.0]}},
+            "p": {"far": {"type": "fixedValue", "value": 0.0},
+                  "wing": {"type": "zeroGradient"}},
+            "nuTilda": {"far": {"type": "inletOutlet", "value": 3 * nu},
+                        "wing": {"type": "fixedValue", "value": 0.0}},
+        },
+        "initialFields": {"U": uinf, "p": 0.0, "nuTilda": 3 * nu},
+        "primalMinResTol": 0.0,
+        "primalMinIters": iters, "primalMaxIters": iters,
+        "primalLinearSolver": {"pMaxIters": 50, "pRelTol": 0.05,
+                               "uMaxIters": 20, "uRelTol": 0.1,
+                               "turbMaxIters": 20, "turbRelTol": 0.1},
+        "relaxationFactors": {"fields": {"p": 0.2},
+                              "equations": {"U": 0.5, "nuTilda": 0.5}},
+        "function": {"CD": {"type": "force", "patches": ["wing"],
+                            "directionMode": "fixedDirection",
+                            "direction": [1.0, 0.0, 0.0], "scale": 1.0}},
+        "adjEqnOption": {"gmresRelTol": 1e-5, "gmresRestart": 120,
+                         "gmresMaxIters": 120, "pcType": "segregated",
+                         "pcInnerIters": 10},
+        "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
+                            "nuTilda": 3 * nu},
+    }
+    solver = make_solver(opts, topo, pts)
+    inputs = solver.make_inputs()
+    st0 = solver.init_state()
+
+    # compile + run primal
+    st, info = solver.run_primal(st0, inputs)
+    jax.block_until_ready(st["p"])
+    t0 = time.perf_counter()
+    st, info = solver.run_primal(st0, inputs)
+    jax.block_until_ready(st["p"])
+    t_primal = time.perf_counter() - t0
+
+    # compile + run adjoint (fixed budget)
+    psi, ai = solver.run_adjoint("CD", st, inputs)
+    jax.block_until_ready(psi["p"])
+    t0 = time.perf_counter()
+    psi, ai = solver.run_adjoint("CD", st, inputs)
+    jax.block_until_ready(psi["p"])
+    t_adj = time.perf_counter() - t0
+
+    cell_iters = topo.n_cells * iters / (t_primal + t_adj)
+    return {
+        "metric": f"NACA0012 SA-RANS {nw}x{nr} primal({iters} SIMPLE iters)"
+                  f"+adjoint(120 FGMRES) wall-clock "
+                  f"[{jax.devices()[0].platform}]",
+        "value": round(cell_iters, 1),
+        "unit": "cell-iterations/s",
+        "vs_baseline": round(cell_iters / REF_CELL_ITERS_PER_SEC, 4),
+        "primal_s": round(t_primal, 3),
+        "adjoint_s": round(t_adj, 3),
+    }
+
+
+def run_cavity(n, iters):
+    import jax
 
     from dafoam_tpu.mesh import box_hex_mesh
     from dafoam_tpu.solvers import make_solver
-
-    n = int(os.environ.get("BENCH_N", "96"))
-    iters = int(os.environ.get("BENCH_ITERS", "200"))
 
     pts, topo = box_hex_mesh(n, n, 1, (0.1, 0.1, 0.01),
                              kinds={"zmin": "empty", "zmax": "empty",
@@ -43,41 +119,54 @@ def main():
                   "ymin": {"type": "fixedValue", "value": [0.0, 0.0, 0.0]},
                   "xmin": {"type": "fixedValue", "value": [0.0, 0.0, 0.0]},
                   "xmax": {"type": "fixedValue", "value": [0.0, 0.0, 0.0]}},
-            "p": {"ymax": {"type": "zeroGradient"},
-                  "ymin": {"type": "zeroGradient"},
-                  "xmin": {"type": "zeroGradient"},
-                  "xmax": {"type": "zeroGradient"}},
+            "p": {k: {"type": "zeroGradient"}
+                  for k in ("xmin", "xmax", "ymin", "ymax")},
         },
         "initialFields": {"U": [0.0, 0.0, 0.0], "p": 0.0},
-        "primalMinResTol": 0.0,          # fixed-iteration timing mode
-        "primalMinIters": iters,
-        "primalMaxIters": iters,
+        "primalMinResTol": 0.0,
+        "primalMinIters": iters, "primalMaxIters": iters,
         "primalLinearSolver": {"pMaxIters": 50, "pRelTol": 0.05,
                                "uMaxIters": 20, "uRelTol": 0.1,
                                "turbMaxIters": 20, "turbRelTol": 0.1},
-        "relaxationFactors": {"fields": {"p": 0.3}, "equations": {"U": 0.7}},
     }
     solver = make_solver(opts, topo, pts)
     inputs = solver.make_inputs()
     st0 = solver.init_state()
-
-    # warm-up/compile
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
-    # timed
     t0 = time.perf_counter()
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
     dt = time.perf_counter() - t0
-
     cell_iters = topo.n_cells * iters / dt
-    out = {
-        "metric": f"SIMPLE cavity {n}x{n} primal throughput "
-                  f"({iters} fused SIMPLE iters, {jax.devices()[0].platform})",
+    return {
+        "metric": f"SIMPLE cavity {n}x{n} primal throughput ({iters} fused "
+                  f"SIMPLE iters, {jax.devices()[0].platform})",
         "value": round(cell_iters, 1),
         "unit": "cell-iterations/s",
         "vs_baseline": round(cell_iters / REF_CELL_ITERS_PER_SEC, 4),
     }
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    case = os.environ.get("BENCH_CASE", "naca")
+    iters = int(os.environ.get("BENCH_ITERS", "300"))
+    try:
+        if case == "naca":
+            out = run_naca(int(os.environ.get("BENCH_NW", "128")),
+                           int(os.environ.get("BENCH_NR", "48")), iters)
+        else:
+            out = run_cavity(int(os.environ.get("BENCH_N", "96")), iters)
+    except Exception as e:  # robust fallback for the driver
+        try:
+            out = run_cavity(64, 100)
+            out["note"] = f"naca bench failed ({type(e).__name__}); cavity fallback"
+        except Exception as e2:
+            out = {"metric": "bench failed", "value": 0.0, "unit": "n/a",
+                   "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e2}"}
     print(json.dumps(out))
 
 

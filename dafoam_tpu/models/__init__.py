@@ -1,5 +1,6 @@
 from dafoam_tpu.models.base import TurbulenceModel, Laminar
-from dafoam_tpu.models.spalart_allmaras import SpalartAllmaras
+from dafoam_tpu.models.spalart_allmaras import (SpalartAllmaras,
+                                                 SpalartAllmarasFv3)
 from dafoam_tpu.models.komega_sst import KOmegaSST
 from dafoam_tpu.models.ktwoeq import KEpsilon, KOmega
 
@@ -7,6 +8,7 @@ _TURB_REGISTRY = {
     "None": Laminar,
     "laminar": Laminar,
     "SpalartAllmaras": SpalartAllmaras,
+    "SpalartAllmarasFv3": SpalartAllmarasFv3,
     "kOmegaSST": KOmegaSST,
     "kEpsilon": KEpsilon,
     "kOmega": KOmega,

@@ -120,6 +120,18 @@ class SpalartAllmaras(TurbulenceModel):
         M = self._assemble(state, inputs, geom, phi, gradU)
         return {"nuTilda": fvx.residual(M, state["nuTilda"], geom, self.topo)}
 
+    def solve_adjoint_fp(self, state, inputs, geom, phi, gradU, rhs,
+                         sweeps=10, rel_tol=0.05, max_iters=40):
+        """Fixed-point adjoint sweep on the transposed pseudo nuTilda
+        equation (reference DATurbulenceModel::solveAdjointFP /
+        constructPseudoNuTildaEqn, DATurbulenceModel.H:270-289): solve
+        (M/V)^T psi = rhs approximately. Used standalone when
+        adjEqnSolMethod == fixedPoint, or as a PC block."""
+        from dafoam_tpu.adjoint.precond import _solve_T
+        M = self._assemble(state, inputs, geom, phi, gradU)
+        return _solve_T(M, rhs, self.topo, geom.vol, symmetric=False,
+                        iters=max_iters)
+
     def correct(self, state, inputs, geom, phi, gradU=None,
                 rel_tol=0.1, max_iters=100, relax=0.7, dt=None, old=None):
         from dafoam_tpu.ops import fvm as _fvm
@@ -133,3 +145,31 @@ class SpalartAllmaras(TurbulenceModel):
         bounds = self.option["primalVarBounds"]
         sol = jnp.clip(sol, bounds["nuTildaMin"], bounds["nuTildaMax"])
         return dict(state, nuTilda=sol)
+
+
+CV2_FV3 = 5.0
+
+
+class SpalartAllmarasFv3(SpalartAllmaras):
+    """SA with the fv3 modification (reference DASpalartAllmarasFv3, the
+    OpenFOAM legacy SA variant used by many DAFoam cases): fv2/fv3 replace
+    the standard fv2 in Stilda."""
+
+    def _stilda_fw(self, state, inputs, geom, gradU):
+        nu = self.nu(inputs)
+        nuTilda = state["nuTilda"]
+        d = jnp.maximum(self.wall_dist, 1e-12)
+        chi, fv1 = self._chi_fv1(nuTilda, nu)
+        chi_s = jnp.maximum(chi, 1e-12)
+        fv2 = (1.0 + chi_s / CV2_FV3) ** (-3.0)
+        fv3 = (1.0 + chi_s * fv1) * (1.0 - fv2) / chi_s
+        skew = 0.5 * (gradU - jnp.swapaxes(gradU, -1, -2))
+        omega = jnp.sqrt(2.0) * jnp.sqrt(
+            jnp.maximum(jnp.sum(skew * skew, axis=(-2, -1)), 1e-300))
+        inv_kd2 = 1.0 / (KAPPA ** 2 * d ** 2)
+        stilda = fv3 * omega + fv2 * nuTilda * inv_kd2
+        stilda = jnp.maximum(stilda, 1e-16)
+        r = jnp.minimum(nuTilda / stilda * inv_kd2, 10.0)
+        g = r + CW2 * (r ** 6 - r)
+        fw = g * ((1.0 + CW3 ** 6) / (g ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
+        return stilda, fw, d
