@@ -113,49 +113,83 @@ def cg(matvec: Callable, b, x0=None, precond: Callable | None = None,
 
 def bicgstab(matvec: Callable, b, x0=None, precond: Callable | None = None,
              rel_tol=1e-6, abs_tol=1e-50, max_iters=200):
+    """Preconditioned BiCGStab with breakdown restarts and best-so-far
+    tracking. BiCGStab's recursion is rounding-sensitive: under SPMD
+    sharding the reduction order changes by shard boundaries, and a naive
+    implementation can hit rho/omega breakdowns that poison the iterate
+    with NaN (observed as sharded-primal divergence). On breakdown the
+    method restarts from the current residual; non-finite trial iterates
+    are rejected in favour of the best finite one."""
     precond = precond or _identity
     x = tzeros_like(b) if x0 is None else x0
     r = _tmap(lambda bi, ax: bi - ax, b, matvec(x))
-    rhat = r
     r0n = tnorm(r)
     tol = jnp.maximum(rel_tol * r0n, abs_tol)
     one = jnp.asarray(1.0, dtype=r0n.dtype)
-    state = (x, r, r, r, one, one, one, jnp.asarray(0), jnp.asarray(True))
-    # state: x, r, p, v, rho, alpha, omega, it, first
+    zero_t = tzeros_like(b)
+    # state: x, r, rhat, p, v, rho, alpha, omega, best_x, best_rn, it, fresh
+    state = (x, r, r, zero_t, zero_t, one, one, one, x, r0n,
+             jnp.asarray(0), jnp.asarray(True))
 
     def cond(s):
-        x, r, p, v, rho, alpha, omega, it, first = s
-        return jnp.logical_and(it < max_iters, tnorm(r) > tol)
+        it, = (s[10],)
+        rn = tnorm(s[1])
+        ok = jnp.isfinite(rn)
+        return jnp.logical_and(it < max_iters,
+                               jnp.logical_and(ok, rn > tol))
 
     def body(s):
-        x, r, p, v, rho, alpha, omega, it, first = s
+        x, r, rhat, p, v, rho, alpha, omega, bx, brn, it, fresh = s
         rho_new = tdot(rhat, r)
-        beta = (rho_new / jnp.where(jnp.abs(rho) > 0, rho, 1e-300)) * \
-               (alpha / jnp.where(jnp.abs(omega) > 0, omega, 1e-300))
+        rn2 = tdot(r, r)
+        # serious breakdown: rhat nearly orthogonal to r -> restart
+        breakdown = jnp.abs(rho_new) < 1e-12 * jnp.maximum(rn2, 1e-300)
+        restart = jnp.logical_or(fresh, breakdown)
+        rhat = jax.lax.cond(restart, lambda _: r, lambda _: rhat, None)
+        rho_new = jnp.where(restart, rn2, rho_new)
+        beta = jnp.where(
+            restart, 0.0,
+            (rho_new / jnp.where(jnp.abs(rho) > 1e-300, rho, 1e-300))
+            * (alpha / jnp.where(jnp.abs(omega) > 1e-300, omega, 1e-300)))
         p = jax.lax.cond(
-            first,
+            restart,
             lambda _: r,
             lambda _: _tmap(lambda ri, pi, vi: ri + beta * (pi - omega * vi),
                             r, p, v),
             None)
         phat = precond(p)
         v = matvec(phat)
-        alpha = rho_new / jnp.where(jnp.abs(tdot(rhat, v)) > 0,
-                                    tdot(rhat, v), 1e-300)
+        rv = tdot(rhat, v)
+        alpha = rho_new / jnp.where(jnp.abs(rv) > 1e-300, rv, 1e-300)
         s_vec = taxpy(-alpha, v, r)
         shat = precond(s_vec)
         t = matvec(shat)
         tt = tdot(t, t)
-        omega = tdot(t, s_vec) / jnp.where(tt > 0, tt, 1e-300)
-        x = _tmap(lambda xi, ph, sh: xi + alpha * ph + omega * sh, x, phat, shat)
-        r = taxpy(-omega, t, s_vec)
-        return x, r, p, v, rho_new, alpha, omega, it + 1, jnp.asarray(False)
+        omega = tdot(t, s_vec) / jnp.where(tt > 1e-300, tt, 1e-300)
+        x_new = _tmap(lambda xi, ph, sh: xi + alpha * ph + omega * sh,
+                      x, phat, shat)
+        r_new = taxpy(-omega, t, s_vec)
+        rn_new = tnorm(r_new)
+        finite = jnp.isfinite(rn_new)
+        # reject non-finite trial states: fall back to best-so-far and
+        # force a fresh restart next iteration
+        x = jax.lax.cond(finite, lambda _: x_new, lambda _: bx, None)
+        r = jax.lax.cond(
+            finite, lambda _: r_new,
+            lambda _: _tmap(lambda bi, ax: bi - ax, b, matvec(bx)), None)
+        better = jnp.logical_and(finite, rn_new < brn)
+        bx = jax.lax.cond(better, lambda _: x_new, lambda _: bx, None)
+        brn = jnp.where(better, rn_new, brn)
+        return (x, r, rhat, p, v, rho_new, alpha, omega, bx, brn, it + 1,
+                jnp.logical_not(finite))
 
     out = jax.lax.while_loop(cond, body, state)
-    x, r = out[0], out[1]
-    it = out[7]
-    rn = tnorm(r)
-    return x, SolveInfo(it, r0n, rn, rn <= tol)
+    x, bx, brn = out[0], out[8], out[9]
+    rn = tnorm(out[1])
+    use_best = jnp.logical_or(~jnp.isfinite(rn), brn < rn)
+    x = jax.lax.cond(use_best, lambda _: bx, lambda _: x, None)
+    rn = jnp.minimum(rn, brn)
+    return x, SolveInfo(out[10], r0n, rn, rn <= tol)
 
 
 # ---------------------------------------------------------------------------

@@ -14,9 +14,14 @@ import jax.numpy as jnp
 
 
 def scatter_add(vals: jnp.ndarray, cells, n_cells: int, sorted: bool = False):
-    """sum_{f: cells[f]==c} vals[f]  ->  (n_cells, ...)."""
-    return jax.ops.segment_sum(vals, cells, num_segments=n_cells,
-                               indices_are_sorted=sorted)
+    """sum_{f: cells[f]==c} vals[f]  ->  (n_cells, ...).
+
+    NOTE: the `indices_are_sorted` hint is deliberately NOT forwarded —
+    under GSPMD the hint applies per-shard after partitioning and XLA can
+    exploit it incorrectly for face arrays sharded independently of cells,
+    silently corrupting the scatter (observed as sharded-primal divergence
+    in test_sharding)."""
+    return jax.ops.segment_sum(vals, cells, num_segments=n_cells)
 
 
 def surface_sum(vals_internal, vals_boundary, topo, active_b=None):

@@ -38,20 +38,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_case(mesh: Mesh, state: dict, inputs: dict, axis: str = "mesh"):
-    """Place a (state, inputs) pair on the device mesh: cell/face-indexed
-    leaves sharded on their leading axis, scalars/BC values replicated.
+def shard_case(mesh: Mesh, state: dict, inputs: dict, axis: str = "mesh",
+               n_cells: int | None = None):
+    """Place a (state, inputs) pair on the device mesh: CELL-indexed leaves
+    sharded on their leading axis, everything else replicated.
 
-    Leading-axis length must divide by the mesh size for sharding; leaves
-    that don't divide are replicated (small boundary arrays etc.).
+    Policy note: only the cell axis is sharded. Empirically, feeding BOTH
+    cell-sharded and face-sharded inputs into one jitted program corrupts
+    results on the XLA:CPU SPMD path (bisected in tests/test_sharding.py:
+    each leaf alone is bit-exact, the combination is off by O(1)); XLA is
+    free to shard face-sized INTERMEDIATES internally, which stays exact.
+    The explicit shard_map + halo-exchange path is the planned
+    high-performance alternative.
     """
     n = mesh.devices.size
     shard = mesh_axis_sharding(mesh, axis)
     repl = replicated(mesh)
+    if n_cells is None:
+        # infer: the smallest leading dim among vol-sized state leaves
+        cand = [x.shape[0] for x in jax.tree_util.tree_leaves(state)
+                if hasattr(x, "shape") and x is not None and
+                getattr(x, "ndim", 0) >= 1]
+        n_cells = min(cand) if cand else -1
 
     def place(x):
         x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] >= n and x.shape[0] % n == 0:
+        if x.ndim >= 1 and x.shape[0] == n_cells and n_cells % n == 0:
             return jax.device_put(x, shard)
         return jax.device_put(x, repl)
 

@@ -161,6 +161,11 @@ class DASimpleFoam(DASolverBase):
         M = fvm.div(geom, self.topo, phi, U, U_bco, scheme=scheme,
                     bounded=True) \
             + self.turb.divdevreff(U, state, inputs, geom, U_bco)
+        # porosity / topology-optimization sink (reference fvm::Sp(
+        # alphaPorosity, U) in UEqnSimple.H; the DATopoChtFoam design var)
+        alpha_por = inputs["params"].get("alphaPorosity")
+        if alpha_por is not None:
+            M = M + fvm.Sp(geom, self.topo, alpha_por, U)
         if self.option.get("fvSource"):
             from dafoam_tpu.fvsource import compute_fv_source
             src = compute_fv_source(self.option, inputs, geom, self.dtype)
