@@ -74,6 +74,7 @@ _DEFAULTS: dict[str, Any] = {
     "inputInfo": {},
     "outputInfo": {},
     "fvSource": {},
+    "MRF": {"active": False},
     "regressionModel": {"active": False},
     # ---- primal loop control (reference DASolver.C:156-316) -----------------
     "primalFuncStdTol": 0.0,

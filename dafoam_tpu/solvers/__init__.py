@@ -4,7 +4,9 @@ from dafoam_tpu.solvers.heat_transfer import DAHeatTransferFoam
 from dafoam_tpu.solvers.simple import DASimpleFoam
 from dafoam_tpu.solvers.pimple import DAPimpleFoam
 from dafoam_tpu.solvers.solid import DASolidDisplacementFoam
-from dafoam_tpu.solvers.rho_simple import DARhoSimpleFoam, DARhoSimpleCFoam
+from dafoam_tpu.solvers.rho_simple import (DARhoSimpleFoam, DARhoSimpleCFoam,
+                                            DATurboFoam)
+from dafoam_tpu.solvers.topo_cht import DATopoChtFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -27,7 +29,7 @@ def make_solver(option, topo, points):
 
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
            DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
-           DARhoSimpleCFoam):
+           DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",

@@ -71,7 +71,16 @@ class DARhoSimpleFoam(DASolverBase):
 
     # -- BC helpers -------------------------------------------------------
     def _bco(self, name, field, inputs, geom, phi, rank):
-        return bc.coeffs(self.bc_spec[name], inputs["bc"].get(name, {}),
+        vals = inputs["bc"].get(name, {})
+        if name == "U":
+            mrf = self.option.get("MRF", {})
+            if mrf.get("active") and mrf.get("rotatingPatches"):
+                from dafoam_tpu import mrf as mrfm
+                vals = dict(vals)
+                vals.update(mrfm.rotating_wall_values(
+                    mrf, geom, self.topo, mrf["rotatingPatches"], inputs,
+                    self.dtype))
+        return bc.coeffs(self.bc_spec[name], vals,
                          self.topo, geom, field, rank=rank,
                          phi_b=phi[self.topo.n_internal:])
 
@@ -108,6 +117,12 @@ class DARhoSimpleFoam(DASolverBase):
         Tb = mu_eff_b[:, None, None] * 0.0 + Tc[topo.owner[topo.n_internal:]]
         expl = fvc.div_tensor(geom, topo, Tc, Tb)
         M = M.add_source(expl * geom.vol[:, None])
+        mrf = self.option.get("MRF", {})
+        if mrf.get("active"):
+            from dafoam_tpu import mrf as mrfm
+            # + rho * (Omega x U) in the zone (compressible MRF.DDt)
+            dd = rho[:, None] * mrfm.ddt_source(mrf, U, geom, inputs)
+            M = M.add_source(-dd * geom.vol[:, None])
         alpha = self.option["relaxationFactors"]["equations"].get("U", 0.7)
         M = fvx.relax(M, U, alpha, topo)
         return M, U_bco
@@ -152,6 +167,13 @@ class DARhoSimpleFoam(DASolverBase):
         rho_b = rho[topo.owner[ni:]]
         rho_f = fvc.interpolate(geom, topo, rho, rho_b)
         phiHbyA = rho_f * fvc.flux(geom, topo, HbyA, HbyA_b)
+        mrf = self.option.get("MRF", {})
+        if mrf.get("active"):
+            from dafoam_tpu import mrf as mrfm
+            # mass-flux makeRelative: phi -= rho_f (Omega x r).Sf
+            phiHbyA = rho_f * mrfm.make_relative(
+                mrf, phiHbyA / jnp.maximum(rho_f, 1e-300), geom, topo,
+                inputs)
 
         rho_rAU = rho * rAU
         rr_b = rho_rAU[topo.owner[ni:]]
@@ -372,3 +394,11 @@ def FvScale(m, a):
 class DARhoSimpleCFoam(DARhoSimpleFoam):
     """Transonic SIMPLEC variant (reference DARhoSimpleCFoam)."""
     transonic = True
+
+
+class DATurboFoam(DARhoSimpleFoam):
+    """Turbomachinery solver: compressible SIMPLE + MRF rotating zones
+    (reference DATurboFoam, src/adjoint/DASolver/DATurboFoam/). The MRF
+    terms activate through option["MRF"] (mrf.py); rotation speed is a
+    differentiable input (inputs.params.MRF.omega)."""
+    pass

@@ -140,7 +140,15 @@ class DASimpleFoam(DASolverBase):
     # BC helpers
     # ------------------------------------------------------------------
     def _bco_U(self, U, inputs, geom, phi):
-        return bc.coeffs(self.bc_spec["U"], inputs["bc"].get("U", {}),
+        vals = inputs["bc"].get("U", {})
+        mrf = self.option.get("MRF", {})
+        if mrf.get("active") and mrf.get("rotatingPatches"):
+            from dafoam_tpu import mrf as mrfm
+            vals = dict(vals)
+            vals.update(mrfm.rotating_wall_values(
+                mrf, geom, self.topo, mrf["rotatingPatches"], inputs,
+                self.dtype))
+        return bc.coeffs(self.bc_spec["U"], vals,
                          self.topo, geom, U, rank=1,
                          phi_b=phi[self.topo.n_internal:])
 
@@ -161,6 +169,12 @@ class DASimpleFoam(DASolverBase):
         M = fvm.div(geom, self.topo, phi, U, U_bco, scheme=scheme,
                     bounded=True) \
             + self.turb.divdevreff(U, state, inputs, geom, U_bco)
+        mrf = self.option.get("MRF", {})
+        if mrf.get("active"):
+            from dafoam_tpu import mrf as mrfm
+            # + MRF.DDt(U): contribution += (Omega x U) V in the zone
+            M = M.add_source(-mrfm.ddt_source(mrf, U, geom, inputs)
+                             * geom.vol[:, None])
         # porosity / topology-optimization sink (reference fvm::Sp(
         # alphaPorosity, U) in UEqnSimple.H; the DATopoChtFoam design var)
         alpha_por = inputs["params"].get("alphaPorosity")
@@ -196,6 +210,11 @@ class DASimpleFoam(DASolverBase):
         else:
             HbyA_b = HbyA[topo.owner[ni:]]
         phiHbyA = fvc.flux(geom, topo, HbyA, HbyA_b)
+
+        mrf = self.option.get("MRF", {})
+        if mrf.get("active"):
+            from dafoam_tpu import mrf as mrfm
+            phiHbyA = mrfm.make_relative(mrf, phiHbyA, geom, topo, inputs)
 
         if self.p_needs_ref:
             phiHbyA = self._adjust_phi(phiHbyA, geom)
