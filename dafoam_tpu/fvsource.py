@@ -43,9 +43,12 @@ def actuator_disk(geom, params, cfg, dtype):
     m_r = _smooth_mask(rad - r_out, eps) * _smooth_mask(r_in - rad, eps)
     mask = m_ax * m_r
 
-    # Goldstein: eta(r~) = r~ sqrt(1 - r~), r~ normalized radius
-    rt = jnp.clip((rad - r_in) / jnp.maximum(r_out - r_in, 1e-12), 0.0, 1.0)
-    eta = rt * jnp.sqrt(jnp.maximum(1.0 - rt, 0.0))
+    # Goldstein: eta(r~) = r~ sqrt(1 - r~), r~ normalized radius.
+    # NaN-safe: sqrt'(0) is infinite and rt clips to exactly 1 outside the
+    # disk — floor the argument so the (masked-out) gradient stays finite.
+    rt = jnp.clip((rad - r_in) / jnp.maximum(r_out - r_in, 1e-12),
+                  0.0, 1.0 - 1e-9)
+    eta = rt * jnp.sqrt(1.0 - rt)
     w = mask * eta
     # normalize so the volume integral of the source equals `scale` (total
     # thrust), as the reference does with its pseudo-disk calibration
