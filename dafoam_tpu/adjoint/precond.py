@@ -38,8 +38,8 @@ def _solve_T(m: FvMatrix, r, topo, vol, symmetric=False, iters=15):
     d = mt.diag if mt.diag.ndim == r.ndim else mt.diag[..., None]
     dinv = 1.0 / jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
 
-    def mv(x):
-        return matvec(mt, x, topo)
+    from dafoam_tpu.ops.fvmatrix import matvec_fn
+    mv = matvec_fn(mt, topo)
 
     def prec(x):
         return dinv * x

@@ -17,6 +17,7 @@ The context ``ctx`` is assembled by the solver per evaluation:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -224,6 +225,71 @@ def f_mesh_quality_ks(cfg, ctx):
     return m + jnp.log(jnp.sum(jnp.exp(rho * (metric - m)))) / rho
 
 
+
+def f_total_pressure_ratio(cfg, ctx):
+    """Mass-flow-averaged total-pressure ratio outlet/inlet (compressible;
+    reference DAFunctionTotalPressureRatio): p0 = p (1 + (g-1)/2 M^2)^(g/(g-1))."""
+    topo, geom = ctx["topo"], ctx["geom"]
+    gam = cfg.get("gamma", 1.4)
+    p_b = _bface_field(ctx, "p")
+    T_b = _bface_field(ctx, "T")
+    U_b = _bface_field(ctx, "U")
+    R = cfg.get("R", 287.0)
+    c2 = gam * R * T_b
+    M2 = jnp.sum(U_b * U_b, -1) / jnp.maximum(c2, 1e-300)
+    p0 = p_b * (1.0 + 0.5 * (gam - 1.0) * M2) ** (gam / (gam - 1.0))
+
+    def avg(patches):
+        mask = jnp.asarray(_patch_mask(topo, patches), p_b.dtype)
+        w = jnp.abs(ctx["phi"][topo.n_internal:]) * mask
+        return jnp.sum(w * p0) / jnp.maximum(jnp.sum(w), 1e-300)
+
+    return avg(cfg["outletPatches"]) / jnp.maximum(avg(cfg["inletPatches"]),
+                                                   1e-300)
+
+
+def f_total_temperature_ratio(cfg, ctx):
+    """Mass-flow-averaged total-temperature ratio outlet/inlet (reference
+    DAFunctionTotalTemperatureRatio): T0 = T (1 + (g-1)/2 M^2)."""
+    topo = ctx["topo"]
+    gam = cfg.get("gamma", 1.4)
+    T_b = _bface_field(ctx, "T")
+    U_b = _bface_field(ctx, "U")
+    R = cfg.get("R", 287.0)
+    M2 = jnp.sum(U_b * U_b, -1) / jnp.maximum(gam * R * T_b, 1e-300)
+    T0 = T_b * (1.0 + 0.5 * (gam - 1.0) * M2)
+
+    def avg(patches):
+        mask = jnp.asarray(_patch_mask(topo, patches), T_b.dtype)
+        w = jnp.abs(ctx["phi"][topo.n_internal:]) * mask
+        return jnp.sum(w * T0) / jnp.maximum(jnp.sum(w), 1e-300)
+
+    return avg(cfg["outletPatches"]) / jnp.maximum(avg(cfg["inletPatches"]),
+                                                   1e-300)
+
+
+def f_location(cfg, ctx):
+    """Differentiable location of a field extremum via softmax-weighted
+    coordinates (reference DAFunctionLocation, e.g. maxRadius for
+    centrifugal blades)."""
+    geom = ctx["geom"]
+    v = ctx["state"].get(cfg["varName"],
+                         ctx.get("aux", {}).get(cfg["varName"]))
+    if v is not None and v.ndim == 2:
+        v = jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1), 1e-300))
+    mode = cfg.get("mode", "maxRadius")
+    axis = jnp.asarray(cfg.get("axis", [0.0, 0.0, 1.0]), geom.cc.dtype)
+    center = jnp.asarray(cfg.get("center", [0.0, 0.0, 0.0]), geom.cc.dtype)
+    d = geom.cc - center
+    z = d @ axis
+    r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1) - z ** 2, 1e-300))
+    rho_ks = cfg.get("coeffKS", 20.0)
+    w = jax.nn.softmax(rho_ks * v)
+    if mode == "maxRadius":
+        return jnp.sum(w * r)
+    raise NotImplementedError(mode)
+
+
 _REGISTRY = {
     "patchMean": f_patch_mean,
     "variableVolSum": f_variable_vol_sum,
@@ -237,6 +303,9 @@ _REGISTRY = {
     "wallHeatFlux": f_wall_heat_flux,
     "vonMisesStressKS": f_von_mises_ks,
     "meshQualityKS": f_mesh_quality_ks,
+    "totalPressureRatio": f_total_pressure_ratio,
+    "totalTemperatureRatio": f_total_temperature_ratio,
+    "location": f_location,
 }
 
 

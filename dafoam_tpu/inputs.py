@@ -43,6 +43,13 @@ class InputRegistry:
         if t == "fvSourcePar":
             return len(self.solver.option["fvSource"][cfg["fvSourceName"]]
                        .get("parameters", []))
+        if t == "stateVar":
+            return self.solver.layout.n_states
+        if t == "patchField":
+            n = sum(self.solver.topo.patch(p).size for p in cfg["patches"])
+            return n * (3 if cfg.get("fieldType") == "vector" else 1)
+        if t == "fieldUnsteady":
+            return topo.n_cells * cfg.get("nSteps", 1)
         raise NotImplementedError(t)
 
     def distributed(self, name: str) -> bool:
@@ -107,6 +114,31 @@ class InputRegistry:
             fv = dict(params.get("fvSourcePar", {}))
             fv[cfg["fvSourceName"]] = arr
             params["fvSourcePar"] = fv
+            out["params"] = params
+        elif t == "stateVar":
+            # direct state override (unsteady field inversion): carried as
+            # an input leaf the solver can splice in (reference
+            # DAInputStateVar)
+            out["stateVar"] = arr
+        elif t == "patchField":
+            var = cfg["fieldName"]
+            bc = {k: dict(v) for k, v in inputs["bc"].items()}
+            bc.setdefault(var, {})
+            off = 0
+            vec = cfg.get("fieldType") == "vector"
+            for pname in cfg["patches"]:
+                n = self.solver.topo.patch(pname).size
+                if vec:
+                    bc[var][pname] = arr[off:off + 3 * n].reshape(n, 3)
+                    off += 3 * n
+                else:
+                    bc[var][pname] = arr[off:off + n]
+                    off += n
+            out["bc"] = bc
+        elif t == "fieldUnsteady":
+            params = dict(inputs["params"])
+            params[cfg["fieldName"] + "Unsteady"] = arr.reshape(
+                cfg.get("nSteps", 1), -1)
             out["params"] = params
         else:
             raise NotImplementedError(t)

@@ -28,8 +28,8 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
     d = _diag_like(m, psi0)
     dinv = 1.0 / jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
 
-    def mv(x):
-        return matvec(m, x, topo)
+    from dafoam_tpu.ops.fvmatrix import matvec_fn
+    mv = matvec_fn(m, topo)
 
     def prec(r):
         return dinv * r

@@ -184,3 +184,63 @@ def read_polymesh(case_dir: str, region: str = ""):
     )
     topo.validate()
     return points, topo
+
+
+# ---------------------------------------------------------------------------
+# writer (round-trip support; also lets users export meshes to OpenFOAM)
+# ---------------------------------------------------------------------------
+
+_HEADER = """FoamFile
+{{
+    version     2.0;
+    format      ascii;
+    class       {cls};
+    location    "constant/polyMesh";
+    object      {obj};
+}}
+"""
+
+
+def write_polymesh(case_dir: str, points, topo, region: str = ""):
+    """Write points/faces/owner/neighbour/boundary in OpenFOAM ASCII format."""
+    pm = os.path.join(case_dir, "constant", region, "polyMesh")
+    os.makedirs(pm, exist_ok=True)
+    pts = np.asarray(points)
+
+    with open(os.path.join(pm, "points"), "w") as fh:
+        fh.write(_HEADER.format(cls="vectorField", obj="points"))
+        fh.write(f"{pts.shape[0]}\n(\n")
+        for p in pts:
+            fh.write("(%.17g %.17g %.17g)\n" % tuple(p))
+        fh.write(")\n")
+
+    with open(os.path.join(pm, "faces"), "w") as fh:
+        fh.write(_HEADER.format(cls="faceList", obj="faces"))
+        fh.write(f"{topo.n_faces}\n(\n")
+        for f in range(topo.n_faces):
+            k = int(topo.face_nverts[f])
+            fh.write(str(k) + "(" +
+                     " ".join(str(int(v)) for v in topo.face_verts[f, :k])
+                     + ")\n")
+        fh.write(")\n")
+
+    for name, arr in (("owner", topo.owner),
+                      ("neighbour", topo.neighbour)):
+        with open(os.path.join(pm, name), "w") as fh:
+            fh.write(_HEADER.format(cls="labelList", obj=name))
+            fh.write(f"{arr.shape[0]}\n(\n")
+            fh.write("\n".join(str(int(v)) for v in arr))
+            fh.write("\n)\n")
+
+    _KIND_OUT = {"wall": "wall", "empty": "empty", "symmetry": "symmetry",
+                 "patch": "patch", "processor": "processor"}
+    with open(os.path.join(pm, "boundary"), "w") as fh:
+        fh.write(_HEADER.format(cls="polyBoundaryMesh", obj="boundary"))
+        fh.write(f"{len(topo.patches)}\n(\n")
+        for p in topo.patches:
+            fh.write(f"    {p.name}\n    {{\n"
+                     f"        type            {_KIND_OUT.get(p.kind, 'patch')};\n"
+                     f"        nFaces          {p.size};\n"
+                     f"        startFace       {p.start};\n    }}\n")
+        fh.write(")\n")
+    return pm

@@ -136,6 +136,48 @@ class MeshTopology:
                            (face_id, col, is_owner, valid))
         return self._ell_cache
 
+    def dia(self, max_offsets: int = 64):
+        """Banded (DIA) structure for the TPU-native LDU matvec.
+
+        After RCM/RCB renumbering the cell graph is banded with FEW distinct
+        diagonals (a structured box has exactly 6 off-diagonals). Returns
+        (offsets (n_off,), face_idx (n_off, nc) i32, kind (n_off, nc) i8)
+        with kind 1 = owner row (coeff = upper[face]), 2 = neighbour row
+        (coeff = lower[face]), 0 = empty. The coefficient gather happens
+        ONCE per assembled matrix; every subsequent matvec is diag*x +
+        sum_o coef_o * shift(x, o) — pure VPU, zero gathers in the Krylov
+        hot loop. Returns None when the mesh has more distinct diagonals
+        than max_offsets (fall back to the ELL gather path).
+        """
+        cached = getattr(self, "_dia_cache", "missing")
+        if cached != "missing":
+            return cached
+        nc = self.n_cells
+        ni = self.n_internal
+        own = self.owner[:ni].astype(np.int64)
+        nei = self.neighbour.astype(np.int64)
+        offs_all = np.concatenate([nei - own, own - nei])
+        uniq = np.unique(offs_all)
+        result = None
+        if uniq.size <= max_offsets:
+            off_of = {int(o): i for i, o in enumerate(uniq)}
+            face_idx = np.zeros((uniq.size, nc), dtype=np.int32)
+            kind = np.zeros((uniq.size, nc), dtype=np.int8)
+            ok = True
+            for f in range(ni):
+                c, d = own[f], nei[f]
+                i = off_of[int(d - c)]
+                j = off_of[int(c - d)]
+                if kind[i, c] or kind[j, d]:   # duplicate face between pair
+                    ok = False
+                    break
+                face_idx[i, c], kind[i, c] = f, 1      # owner row, upper
+                face_idx[j, d], kind[j, d] = f, 2      # neighbour row, lower
+            if ok:
+                result = (uniq.astype(np.int64), face_idx, kind)
+        object.__setattr__(self, "_dia_cache", result)
+        return result
+
     def validate(self) -> None:
         nf = self.n_faces
         assert self.face_verts.shape[0] == nf

@@ -33,12 +33,15 @@ def _rank_r(x, psi):
 
 
 def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
-        bounded: bool = False) -> FvMatrix:
+        bounded: bool = False, grad_psi=None) -> FvMatrix:
     """fvm::div(phi, psi): implicit convection.
 
-    scheme: "upwind" | "linear". ``bounded`` subtracts Sp(fvc::div(phi), psi)
-    (OpenFOAM 'bounded Gauss' — removes the non-conservative part for
-    steady-state runs before continuity is converged).
+    scheme: "upwind" | "linear" | "linearUpwind". ``bounded`` subtracts
+    Sp(fvc::div(phi), psi) (OpenFOAM 'bounded Gauss' — removes the
+    non-conservative part for steady-state runs before continuity is
+    converged). "linearUpwind" is the reference airfoil cases' workhorse:
+    implicit upwind + explicit deferred correction
+    phi * grad_up . (Cf - C_up) — second-order, upwind-stable.
     """
     ni = topo.n_internal
     nc = topo.n_cells
@@ -47,8 +50,21 @@ def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
     phi_i = phi_f[:ni]
     phi_b = phi_f[ni:] * bcoef.active
 
-    if scheme == "upwind":
+    lu_corr = None
+    if scheme in ("upwind", "linearUpwind"):
         w = (phi_i >= 0.0).astype(psi.dtype)
+        if scheme == "linearUpwind":
+            if grad_psi is None:
+                from dafoam_tpu.ops.bc import boundary_value
+                psi_b = boundary_value(bcoef, psi, topo)
+                grad_psi = fvc.grad(geom, topo, psi, psi_b)
+            up = jnp.where((phi_i >= 0.0), own, nei)
+            d = geom.cf[:ni] - geom.cc[up]               # (ni,3)
+            if psi.ndim == 2:
+                dpsi = jnp.einsum("fi,fij->fj", d, grad_psi[up])
+            else:
+                dpsi = jnp.einsum("fi,fi->f", d, grad_psi[up])
+            lu_corr = _rank_r(phi_i, psi) * dpsi         # explicit face flux
     elif scheme == "linear":
         w = geom.weights[:ni]
     else:
@@ -72,6 +88,12 @@ def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
     pb = _rank_r(phi_b, psi)
     diag = diag.at[own_b].add(pb * bcoef.vc)
     source = source.at[own_b].add(-pb * bcoef.vb)
+
+    if lu_corr is not None:
+        # deferred correction: contribution += surfaceSum(+own/-nei) of the
+        # explicit flux, i.e. source -= that sum
+        source = source.at[own].add(-lu_corr)
+        source = source.at[nei].add(lu_corr)
 
     m = FvMatrix(diag=diag, lower=lower, upper=upper, source=source)
 

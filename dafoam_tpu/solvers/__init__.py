@@ -7,6 +7,7 @@ from dafoam_tpu.solvers.solid import DASolidDisplacementFoam
 from dafoam_tpu.solvers.rho_simple import (DARhoSimpleFoam, DARhoSimpleCFoam,
                                             DATurboFoam)
 from dafoam_tpu.solvers.topo_cht import DATopoChtFoam
+from dafoam_tpu.solvers.rho_pimple import DARhoPimpleFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -29,7 +30,7 @@ def make_solver(option, topo, points):
 
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
            DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
-           DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam):
+           DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam, DARhoPimpleFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",

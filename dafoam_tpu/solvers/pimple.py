@@ -43,8 +43,6 @@ class DAPimpleFoam(DASimpleFoam):
         U, phi = state["U"], state["phi"]
         U_bco = self._bco_U(U, inputs, geom, phi)
         scheme = self.div_u_scheme
-        if scheme == "linearUpwind":
-            scheme = "upwind"
         M = fvm.div(geom, self.topo, phi, U, U_bco, scheme=scheme) \
             + self.turb.divdevreff(U, state, inputs, geom, U_bco) \
             + fvm.ddt(geom, self.topo, U, W_old["U"], self.dt)

@@ -102,8 +102,6 @@ class DARhoSimpleFoam(DASolverBase):
         mu_eff_b = mu + mut_b
         mu_eff_f = fvc.interpolate(geom, topo, mu_eff, mu_eff_b)
         scheme = self.option["divSchemes"].get("div(phi,U)", "upwind")
-        if scheme == "linearUpwind":
-            scheme = "upwind"
         M = fvm.div(geom, topo, phi, U, U_bco, scheme=scheme, bounded=True) \
             - fvm.laplacian(geom, topo, mu_eff_f, U, U_bco)
         # explicit dev2 transpose term

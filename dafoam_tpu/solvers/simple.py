@@ -23,8 +23,6 @@ The whole primal is ONE jitted lax.while_loop — no per-iteration host sync.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,9 +88,10 @@ class DASimpleFoam(DASolverBase):
         # field inversion / data-driven turbulence: beta multiplier on the
         # SA production (reference DARegression + betaFI `field` input)
         if hasattr(self.turb, "beta_fn"):
-            rm = self.option.get("regressionModel", {})
-            if rm.get("active") or True:  # cheap: checks inputs at runtime
-                self.turb.beta_fn = self._compute_beta
+            # beta_fn checks inputs at runtime (betaFI field and/or active
+            # regression models); a plain 1.0 short-circuit keeps the cost
+            # zero when neither is configured
+            self.turb.beta_fn = self._compute_beta
 
     def regression_n_params(self, model_name):
         from dafoam_tpu import regression
@@ -164,8 +163,6 @@ class DASimpleFoam(DASolverBase):
         U, phi = state["U"], state["phi"]
         U_bco = self._bco_U(U, inputs, geom, phi)
         scheme = "upwind" if is_pc else self.div_u_scheme
-        if scheme == "linearUpwind":
-            scheme = "upwind"  # TODO deferred-correction linearUpwind
         M = fvm.div(geom, self.topo, phi, U, U_bco, scheme=scheme,
                     bounded=True) \
             + self.turb.divdevreff(U, state, inputs, geom, U_bco)
