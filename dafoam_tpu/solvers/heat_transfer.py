@@ -22,7 +22,44 @@ from dafoam_tpu.states import StateInfo
 class DAHeatTransferFoam(DASolverBase):
     state_info = StateInfo(vol_scalar=("T",))
 
-    def _assemble(self, T, inputs, geom):
+    def __init__(self, option, topo, points):
+        # optional P1 radiation (reference DARadiationModel/DAP1): adds the
+        # incident-radiation field G as a state and couples a G - 4 a sigma
+        # T^4 into the energy balance
+        bcs = (option.get("boundaryConditions", {})
+               if isinstance(option, dict) else option["boundaryConditions"])
+        self.has_radiation = "G" in bcs
+        if self.has_radiation:
+            self.state_info = StateInfo(vol_scalar=("T", "G"))
+        super().__init__(option, topo, points)
+
+    SIGMA_SB = 5.670374419e-8
+
+    def _rad_props(self, inputs):
+        p = inputs["params"]
+        a = p.get("radiationAbsorptivity", 0.5)
+        sig_s = p.get("radiationScatter", 0.0)
+        e = p.get("radiationEmissivity", a)
+        return a, sig_s, e
+
+    def _assemble_G(self, state, inputs, geom):
+        from dafoam_tpu.ops import fvm as _fvm
+        a, sig_s, e = self._rad_props(inputs)
+        G, T = state["G"], state["T"]
+        bco = bc.coeffs(self.bc_spec["G"], inputs["bc"].get("G", {}),
+                        self.topo, geom, G, rank=0)
+        gamma = 1.0 / jnp.maximum(3.0 * (a + sig_s), 1e-12)
+        gamma_f = jnp.full((self.topo.n_faces,), gamma, self.dtype)
+        M = -_fvm.laplacian(geom, self.topo, gamma_f, G, bco) \
+            + _fvm.Sp(geom, self.topo, jnp.full_like(G, a), G)
+        M = M.add_source(4.0 * e * self.SIGMA_SB * T ** 4 * geom.vol)
+        return M
+
+    def _radiative_heat(self, state, inputs, geom):
+        a, sig_s, e = self._rad_props(inputs)
+        return a * state["G"] - 4.0 * e * self.SIGMA_SB * state["T"] ** 4
+
+    def _assemble(self, T, inputs, geom, state=None):
         bco = bc.coeffs(self.bc_spec["T"], inputs["bc"].get("T", {}),
                         self.topo, geom, T, rank=0)
         kappa = inputs["params"]["kappa"]
@@ -40,12 +77,19 @@ class DAHeatTransferFoam(DASolverBase):
             qs = compute_heat_source(self.option, inputs, geom, self.dtype)
             if qs is not None:
                 M = M.add_source(qs * geom.vol)
+        if self.has_radiation and state is not None:
+            M = M.add_source(self._radiative_heat(
+                dict(state, T=T), inputs, geom) * geom.vol)
         return M
 
     def residuals(self, state, inputs):
         geom = self.geometry(inputs)
-        M = self._assemble(state["T"], inputs, geom)
-        return {"T": fvx.residual(M, state["T"], geom, self.topo)}
+        M = self._assemble(state["T"], inputs, geom, state=state)
+        out = {"T": fvx.residual(M, state["T"], geom, self.topo)}
+        if self.has_radiation:
+            MG = self._assemble_G(state, inputs, geom)
+            out["G"] = fvx.residual(MG, state["G"], geom, self.topo)
+        return out
 
     def solve_primal(self, state, inputs):
         import jax
@@ -53,27 +97,36 @@ class DAHeatTransferFoam(DASolverBase):
         geom = self.geometry(inputs)
         tol = self.option["primalMinResTol"]
 
-        def res_of(T):
-            Mi = self._assemble(T, inputs, geom)
-            return jnp.max(jnp.abs(fvx.residual(Mi, T, geom, self.topo)))
+        def res_of(st):
+            r = self.residuals(st, inputs)
+            return jnp.max(jnp.asarray([jnp.max(jnp.abs(v))
+                                        for v in r.values()]))
 
         def cond(c):
-            T, it, res = c
-            return jnp.logical_and(it < 50, res > tol)
+            st, it, res = c
+            return jnp.logical_and(it < 100, res > tol)
 
         def body(c):
-            T, it, res = c
-            Mi = self._assemble(T, inputs, geom)
-            Tn, _ = fvsolve.solve(Mi, T, self.topo, symmetric=True,
+            st, it, res = c
+            Mi = self._assemble(st["T"], inputs, geom, state=st)
+            Tn, _ = fvsolve.solve(Mi, st["T"], self.topo, symmetric=True,
                                   rel_tol=1e-14, max_iters=10000)
-            return Tn, it + 1, res_of(Tn)
+            # under-relax T when radiation couples T^4 back into the source
+            alpha = 0.7 if self.has_radiation else 1.0
+            st = dict(st, T=st["T"] + alpha * (Tn - st["T"]))
+            if self.has_radiation:
+                MG = self._assemble_G(st, inputs, geom)
+                Gn, _ = fvsolve.solve(MG, st["G"], self.topo,
+                                      symmetric=False, rel_tol=1e-12,
+                                      max_iters=2000)
+                st = dict(st, G=Gn)
+            return st, it + 1, res_of(st)
 
-        sol, it, res = jax.lax.while_loop(
-            cond, body, (state["T"], jnp.asarray(0),
+        st, it, res = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0),
                          jnp.asarray(jnp.inf, self.dtype)))
-        state = dict(state, T=sol)
-        return state, PrimalInfo(it, res, res <= tol,
-                                 jnp.logical_not(self.states_valid(state)))
+        return st, PrimalInfo(it, res, res <= tol,
+                              jnp.logical_not(self.states_valid(st)))
 
     def boundary_fields(self, state, inputs, geom):
         bco = bc.coeffs(self.bc_spec["T"], inputs["bc"].get("T", {}),

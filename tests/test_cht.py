@@ -29,6 +29,7 @@ def build():
     opts_f = {
         "solverName": "DASimpleFoam",
         "turbulenceModel": "None",
+        "divSchemes": {"div(phi,U)": "upwind"},
         "transportProperties": {"nu": NU, "Pr": 0.7, "Prt": 0.85,
                                 "Cp": 1004.5},
         "boundaryConditions": {
