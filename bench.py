@@ -148,8 +148,27 @@ def run_cavity(n, iters):
     }
 
 
+def _device_probe_ok(timeout=240):
+    """Probe the default JAX platform in a SUBPROCESS: the axon TPU tunnel
+    can wedge (hangs forever in-process, unkillable once the backend is
+    touched). On failure the parent falls back to CPU BEFORE initializing
+    any backend."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.block_until_ready(jnp.ones((128,128)).sum());"
+            "print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     import jax
+    if not _device_probe_ok():
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
     case = os.environ.get("BENCH_CASE", "naca")

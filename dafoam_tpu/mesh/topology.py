@@ -24,7 +24,7 @@ from typing import Sequence
 import numpy as np
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class Patch:
     """One boundary patch: a contiguous run of boundary faces.
 
@@ -42,7 +42,7 @@ class Patch:
         raise AttributeError("use topo.patch_bstart(name)")
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class MeshTopology:
     """Static mesh connectivity. All arrays are numpy (host, non-traced).
 

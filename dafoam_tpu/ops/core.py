@@ -24,16 +24,107 @@ def scatter_add(vals: jnp.ndarray, cells, n_cells: int, sorted: bool = False):
     return jax.ops.segment_sum(vals, cells, num_segments=n_cells)
 
 
+# ---------------------------------------------------------------------------
+# Gather-form face->cell reductions (the TPU-critical primitives)
+#
+# TPU scatters serialize per index; every assembly-time face->cell reduction
+# here is instead a per-cell GATHER over the <=K incident faces (topo.ell()).
+# The custom VJPs keep the BACKWARD pass scatter-free too: the transpose of
+# "sum faces into cells" is "broadcast cells onto faces", which is itself a
+# gather — so primal, adjoint (vjp) and forward (jvp) sweeps never scatter
+# over the big internal-face axis. (Boundary-face scatters remain: the
+# boundary is O(surface) small.)
+# ---------------------------------------------------------------------------
+
+def _ell_expand(x, extra_ndim):
+    return x.reshape(x.shape + (1,) * extra_ndim)
+
+
+def _face_gather_sum(vals_i, topo, own_w, nei_w):
+    """sum_k w(k) * vals_i[face_id[c,k]] with w = own_w on owner slots and
+    nei_w on neighbour slots."""
+    face_id, col, is_owner, valid = topo.ell()
+    v = vals_i[face_id]                           # (nc, K, ...)
+    extra = v.ndim - 2
+    w = jnp.where(jnp.asarray(is_owner, vals_i.dtype) > 0.5, own_w, nei_w) \
+        * jnp.asarray(valid, vals_i.dtype)
+    return (v * _ell_expand(w, extra)).sum(axis=1)
+
+
+from jax.custom_derivatives import linear_call
+
+
+def _one_sided_sum(vals_i, topo, own_w, nei_w):
+    return _face_gather_sum(vals_i, topo, own_w, nei_w)
+
+
+def face_sum_signed(vals_i, topo):
+    """y[c] = sum_{f: own=c} vals_i[f] - sum_{f: nei=c} vals_i[f].
+
+    LINEAR op via linear_call: forward AND transpose (reverse-mode) are
+    explicit gather expressions, and forward-mode jvp works too (the
+    reference needs three separate AD builds for this trio)."""
+    ni = topo.n_internal
+
+    def f(_, x):
+        return _face_gather_sum(x, topo, 1.0, -1.0)
+
+    def ft(_, ct):
+        return ct[topo.owner[:ni]] - ct[topo.neighbour]
+
+    return linear_call(f, ft, (), vals_i)
+
+
+def face_sum_pair(own_vals, nei_vals, topo):
+    """y[c] = sum_{f: own=c} own_vals[f] + sum_{f: nei=c} nei_vals[f] —
+    the LDU diagonal-assembly reduction (linear, scatter-free both ways)."""
+    ni = topo.n_internal
+
+    def f(_, x):
+        return _one_sided_sum(x[0], topo, 1.0, 0.0) \
+            + _one_sided_sum(x[1], topo, 0.0, 1.0)
+
+    def ft(_, ct):
+        return (ct[topo.owner[:ni]], ct[topo.neighbour])
+
+    return linear_call(f, ft, (), (own_vals, nei_vals))
+
+
+def cell_to_face_own(x, topo):
+    """x[owner] on internal faces, with a scatter-free transpose (the
+    transpose of a cell->face broadcast is a face->cell ELL sum)."""
+    ni = topo.n_internal
+
+    def f(_, v):
+        return v[topo.owner[:ni]]
+
+    def ft(_, ct):
+        return _one_sided_sum(ct, topo, 1.0, 0.0)
+
+    return linear_call(f, ft, (), x)
+
+
+def cell_to_face_nei(x, topo):
+    def f(_, v):
+        return v[topo.neighbour]
+
+    def ft(_, ct):
+        return _one_sided_sum(ct, topo, 0.0, 1.0)
+
+    return linear_call(f, ft, (), x)
+
+
 def surface_sum(vals_internal, vals_boundary, topo, active_b=None):
     """OpenFOAM surfaceSum: per-cell sum of face values with owner +, nei -.
 
     ``vals_internal``: (ni, ...) per-internal-face values;
     ``vals_boundary``: (nb, ...) per-boundary-face values (outward sign).
     ``active_b``: optional (nb,) 0/1 mask (0 for empty patches).
+    Internal part is gather-form (scatter-free both ways); the small
+    boundary part stays a scatter.
     """
     ni = topo.n_internal
-    out = scatter_add(vals_internal, topo.owner[:ni], topo.n_cells, sorted=True)
-    out = out - scatter_add(vals_internal, topo.neighbour, topo.n_cells)
+    out = face_sum_signed(vals_internal, topo)
     if vals_boundary is not None:
         if active_b is not None:
             shp = (-1,) + (1,) * (vals_boundary.ndim - 1)

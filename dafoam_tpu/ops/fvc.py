@@ -18,11 +18,14 @@ def _w(geom, topo, like):
 
 
 def interpolate(geom, topo, psi: jnp.ndarray, psi_b: jnp.ndarray) -> jnp.ndarray:
-    """Linear (central) face interpolation; boundary faces take psi_b."""
+    """Linear (central) face interpolation; boundary faces take psi_b.
+    Uses the scatter-free cell->face primitives so its reverse-mode
+    (face->cell accumulation) is a gather too."""
+    from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
     ni = topo.n_internal
     w = geom.weights[:ni].reshape((-1,) + (1,) * (psi.ndim - 1))
-    own = psi[topo.owner[:ni]]
-    nei = psi[topo.neighbour]
+    own = cell_to_face_own(psi, topo)
+    nei = cell_to_face_nei(psi, topo)
     return jnp.concatenate([w * own + (1.0 - w) * nei, psi_b], axis=0)
 
 
@@ -36,12 +39,13 @@ def snGrad(geom, topo, psi, sng_b, corrected=False, grad_psi=None,
     ni = topo.n_internal
     own = topo.owner[:ni]
     nei = topo.neighbour
+    from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
     if corrected:
         dc = geom.nonorth_dc[:ni]
     else:
         dc = geom.delta_coeffs[:ni]
     d = dc.reshape((-1,) + (1,) * (psi.ndim - 1))
-    g = d * (psi[nei] - psi[own])
+    g = d * (cell_to_face_nei(psi, topo) - cell_to_face_own(psi, topo))
     if corrected:
         assert grad_psi is not None
         gf = interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]

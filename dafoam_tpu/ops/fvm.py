@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from dafoam_tpu.ops import fvc
 from dafoam_tpu.ops.bc import BCoef
-from dafoam_tpu.ops.core import scatter_add
+from dafoam_tpu.ops.core import (scatter_add, face_sum_pair,
+                                 face_sum_signed)
 from dafoam_tpu.ops.fvmatrix import FvMatrix
 
 
@@ -76,8 +77,7 @@ def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
     lower = -diag_own
     diag_nei = -upper
 
-    diag_s = scatter_add(diag_own, own, nc, sorted=True) \
-        + scatter_add(diag_nei, nei, nc)
+    diag_s = face_sum_pair(diag_own, diag_nei, topo)
 
     diag = _zeros_like_state(psi, topo, psi.dtype)
     diag = diag + (diag_s if psi.ndim == 1 else diag_s[:, None])
@@ -92,8 +92,7 @@ def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
     if lu_corr is not None:
         # deferred correction: contribution += surfaceSum(+own/-nei) of the
         # explicit flux, i.e. source -= that sum
-        source = source.at[own].add(-lu_corr)
-        source = source.at[nei].add(lu_corr)
+        source = source - face_sum_signed(lu_corr, topo)
 
     m = FvMatrix(diag=diag, lower=lower, upper=upper, source=source)
 
@@ -144,8 +143,7 @@ def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
 
     upper = coef
     lower = coef
-    diag_s = scatter_add(-coef, own, nc, sorted=True) \
-        + scatter_add(-coef, nei, nc)
+    diag_s = -face_sum_pair(coef, coef, topo)
 
     diag = _zeros_like_state(psi, topo, psi.dtype)
     diag = diag + (diag_s if psi.ndim == 1 else diag_s[:, None])
@@ -169,8 +167,7 @@ def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
         cflux = _rank_r(gamma_f[:ni] * geom.magsf[:ni], psi) * corr
         # add to owner, subtract from neighbour; goes to SOURCE with minus
         # (contribution(psi) = matvec - source must equal orth + corr)
-        source = source.at[own].add(-cflux)
-        source = source.at[nei].add(cflux)
+        source = source - face_sum_signed(cflux, topo)
 
     # boundary: gamma_b |Sf| (gc psi_own + gb), masked on empty patches
     own_b = topo.owner[ni:]

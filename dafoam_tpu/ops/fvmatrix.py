@@ -81,21 +81,19 @@ def _face_term(coef, psi_vals):
 
 
 def offdiag_matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
-    """Off-diagonal LDU product in GATHER (ELL) form.
+    """Off-diagonal LDU product, scatter-free in EVERY AD mode.
 
-    TPU-first: scatter-adds serialize on the VPU, so the Krylov-loop matvec
-    gathers per-row instead — row c sums coeff(c,k) * psi[col(c,k)] over
-    its <=K incident faces (owner rows read `upper`, neighbour rows read
-    `lower`). Pure gathers vectorize; this is the hot op of every inner
-    linear solve and of the adjoint transposed products."""
-    face_id, col, is_owner, valid = topo.ell()
-    coef = jnp.where(jnp.asarray(is_owner, m.upper.dtype) > 0.5,
-                     m.upper[face_id], m.lower[face_id])
-    coef = coef * jnp.asarray(valid, coef.dtype)
-    pv = psi[col]                      # (nc, K) or (nc, K, 3)
-    if psi.ndim == 2:
-        return jnp.einsum("ck,cki->ci", coef, pv)
-    return jnp.einsum("ck,ck->c", coef, pv)
+    TPU-first: scatter-adds serialize on the VPU. The product is composed
+    from linear primitives with explicit gather transposes
+    (ops.core.cell_to_face_* / face_sum_pair), so the primal evaluation,
+    the adjoint transposed product (reverse of this op is the matvec of
+    the transposed matrix), and forward-mode all lower to gathers only."""
+    from dafoam_tpu.ops.core import (cell_to_face_nei, cell_to_face_own,
+                                     face_sum_pair)
+    pn = cell_to_face_nei(psi, topo)
+    po = cell_to_face_own(psi, topo)
+    return face_sum_pair(_face_term(m.upper, pn), _face_term(m.lower, po),
+                         topo)
 
 
 def matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
@@ -180,11 +178,8 @@ def relax(m: FvMatrix, psi: jnp.ndarray, alpha: float, topo) -> FvMatrix:
     """
     if alpha >= 1.0 - 1e-12:
         return m
-    ni = topo.n_internal
-    own = topo.owner[:ni]
-    nei = topo.neighbour
-    sum_off = scatter_add(jnp.abs(m.upper), own, topo.n_cells, sorted=True) \
-        + scatter_add(jnp.abs(m.lower), nei, topo.n_cells)
+    from dafoam_tpu.ops.core import face_sum_pair
+    sum_off = face_sum_pair(jnp.abs(m.upper), jnp.abs(m.lower), topo)
     d0 = m.diag
     if d0.ndim == 2:
         so = sum_off[:, None]

@@ -67,8 +67,10 @@ class DASimpleFoam(DASolverBase):
             make_turbulence_model(turb_name, topo, self.option,
                                   wall_dist=self.wall_dist)
 
+        # robust default: upwind; cases opt into the 2nd-order
+        # linearUpwind via divSchemes (the reference's airfoil cases do)
         self.div_u_scheme = self.option["divSchemes"].get(
-            "div(phi,U)", "linearUpwind")
+            "div(phi,U)", "upwind")
         # p has a Dirichlet patch? then no reference cell is needed
         pspec = self.bc_spec.get("p", {})
         self.p_needs_ref = not any(

@@ -30,6 +30,7 @@ pts, topo = omesh_naca0012(n_wrap=64, n_radial=24, radius=15.0,
 options = {
     "solverName": "DASimpleFoam",
     "turbulenceModel": "SpalartAllmaras",
+    "divSchemes": {"div(phi,U)": "linearUpwind"},
     "transportProperties": {"nu": NU},
     "boundaryConditions": {
         "U": {"far": {"type": "inletOutlet", "value": U_INF},

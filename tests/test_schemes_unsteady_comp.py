@@ -119,3 +119,54 @@ def test_rho_pimple_unsteady_adjoint_vs_fd(rho_pimple_case):
     # agreement is limited by per-step PIMPLE convergence (the adjoint
     # assumes R^n = 0 exactly); 12% at 4 outers -> 0.6% at 20 outers
     assert dTw == pytest.approx(fd, rel=1e-2), (dTw, fd)
+
+
+def test_linear_upwind_channel_adjoint_vs_fd():
+    """End-to-end adjoint consistency with the 2nd-order scheme active
+    (deferred correction differentiates cleanly through the upwind switch
+    and gradient reconstruction)."""
+    pts, topo = box_hex_mesh(12, 6, 1, (1.0, 0.1, 0.01),
+                             kinds={"zmin": "empty", "zmax": "empty",
+                                    "ymin": "wall", "ymax": "wall"})
+    zero = [0.0, 0.0, 0.0]
+    opts = {
+        "solverName": "DASimpleFoam", "turbulenceModel": "None",
+        "divSchemes": {"div(phi,U)": "linearUpwind"},
+        "transportProperties": {"nu": 1e-3},
+        "boundaryConditions": {
+            "U": {"xmin": {"type": "fixedValue", "value": [1.0, 0.0, 0.0]},
+                  "xmax": {"type": "zeroGradient"},
+                  "ymin": {"type": "fixedValue", "value": zero},
+                  "ymax": {"type": "fixedValue", "value": zero}},
+            "p": {"xmin": {"type": "zeroGradient"},
+                  "xmax": {"type": "fixedValue", "value": 0.0},
+                  "ymin": {"type": "zeroGradient"},
+                  "ymax": {"type": "zeroGradient"}},
+        },
+        "initialFields": {"U": [1.0, 0.0, 0.0], "p": 0.0},
+        "primalMinResTol": 1e-11, "primalMaxIters": 1500,
+        "relaxationFactors": {"fields": {"p": 0.2}, "equations": {"U": 0.5}},
+        "function": {"drag": {"type": "force", "patches": ["ymin", "ymax"],
+                              "directionMode": "fixedDirection",
+                              "direction": [1.0, 0.0, 0.0], "scale": 1.0}},
+        "adjEqnOption": {"gmresRelTol": 1e-10, "gmresRestart": 300,
+                         "gmresMaxIters": 2000, "pcType": "segregated"},
+        "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0},
+    }
+    solver = make_solver(opts, topo, pts)
+    inputs = solver.make_inputs()
+    st, info = solver.run_primal(solver.init_state(), inputs)
+    assert bool(info.converged), (int(info.iters), float(info.max_res))
+    psi, ai = solver.run_adjoint("drag", st, inputs)
+    tot = solver.run_totals("drag", st, inputs, psi)
+    dux = float(tot["bc"]["U"]["xmin"][0])
+
+    def runJ(u):
+        inp = jax.tree_util.tree_map(lambda x: x, inputs)
+        inp["bc"]["U"]["xmin"] = jnp.asarray([u, 0.0, 0.0], solver.dtype)
+        s2, _ = solver.run_primal(solver.init_state(), inp)
+        return float(solver.run_function("drag", s2, inp))
+
+    eps = 1e-6
+    fd = (runJ(1 + eps) - runJ(1 - eps)) / (2 * eps)
+    assert dux == pytest.approx(fd, rel=1e-5), (dux, fd)
