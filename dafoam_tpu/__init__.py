@@ -21,3 +21,18 @@ verification) and float32 (+ f64 reductions where needed) for TPU throughput.
 __version__ = "0.1.0"
 
 from dafoam_tpu.option import DAOption  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax-heavy modules at
+    # package import)
+    if name == "make_solver":
+        from dafoam_tpu.solvers import make_solver
+        return make_solver
+    if name == "box_hex_mesh":
+        from dafoam_tpu.mesh import box_hex_mesh
+        return box_hex_mesh
+    if name == "read_polymesh":
+        from dafoam_tpu.mesh.polymesh import read_polymesh
+        return read_polymesh
+    raise AttributeError(name)

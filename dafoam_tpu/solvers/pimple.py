@@ -157,7 +157,9 @@ class DAPimpleFoam(DASimpleFoam):
             W = jax.tree_util.tree_map(lambda a: a[n], hist)
             return self.eval_function(name, W, inputs)
 
-        vals = jax.vmap(f_at)(jnp.arange(1, T + 1))
+        # lax.map (scan-based): jax.custom_derivatives.linear_call
+        # primitives in the FV core have no vmap batching rule
+        vals = jax.lax.map(f_at, jnp.arange(1, T + 1))
         return time_op(vals, cfg.get("timeOp", "final"), cfg), vals
 
     def solve_unsteady_adjoint(self, hist, inputs, func_name):

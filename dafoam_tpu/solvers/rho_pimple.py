@@ -168,7 +168,7 @@ class DARhoPimpleFoam(DARhoSimpleFoam):
             W = jax.tree_util.tree_map(lambda a: a[n], hist)
             return self.eval_function(name, W, inputs)
 
-        vals = jax.vmap(f_at)(jnp.arange(1, self.n_steps + 1))
+        vals = jax.lax.map(f_at, jnp.arange(1, self.n_steps + 1))
         return time_op(vals, cfg.get("timeOp", "final"), cfg), vals
 
     def solve_unsteady_adjoint(self, hist, inputs, func_name):

@@ -121,6 +121,9 @@ def test_fi_gradients_vs_fd(case):
 
     b0 = inputs["params"]["betaFI"]
     j = int(np.abs(g_beta).argmax())
-    fd2 = (runJ(bfi=b0.at[j].add(eps))
-           - runJ(bfi=b0.at[j].add(-eps))) / (2 * eps)
-    assert g_beta[j] == pytest.approx(fd2, rel=2e-4), (g_beta[j], fd2)
+    # beta is an O(1) multiplier and dJ/dbeta_j ~ 1e-8: use a large FD step
+    # to stay above the primal-tolerance noise floor
+    eps_b = 1e-2
+    fd2 = (runJ(bfi=b0.at[j].add(eps_b))
+           - runJ(bfi=b0.at[j].add(-eps_b))) / (2 * eps_b)
+    assert g_beta[j] == pytest.approx(fd2, rel=1e-3), (g_beta[j], fd2)
