@@ -179,13 +179,11 @@ def main():
                            int(os.environ.get("BENCH_NR", "48")), iters)
         else:
             out = run_cavity(int(os.environ.get("BENCH_N", "96")), iters)
-    except Exception as e:  # robust fallback for the driver
-        try:
-            out = run_cavity(64, 100)
-            out["note"] = f"naca bench failed ({type(e).__name__}); cavity fallback"
-        except Exception as e2:
-            out = {"metric": "bench failed", "value": 0.0, "unit": "n/a",
-                   "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e2}"}
+    except Exception as e:
+        # a failed bench is a FAILURE (value 0), never a substituted metric
+        out = {"metric": f"bench failed ({case})", "value": 0.0,
+               "unit": "cell-iterations/s", "vs_baseline": 0.0,
+               "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
 
 

@@ -98,14 +98,17 @@ def f_total_pressure(cfg, ctx):
 def _wall_force(cfg, ctx):
     """Per-face force vector on wall patches: pressure + viscous.
 
-    fp = Sf * (p - pRef);  fv = -rho nuEff (grad U + grad U^T) . Sf
-    (reference DAFunctionForce uses devRhoReff the same way)."""
+    fp = Sf * rho * (p - pRef);  fv = -rho nuEff (grad U + grad U^T) . Sf
+    (reference DAFunctionForce uses devRhoReff the same way). pRef defaults
+    to 0 (gauge pressure, matching the reference); set cfg["pRef"] to remove
+    the gauge dependence on non-closed patch selections."""
     topo, geom = ctx["topo"], ctx["geom"]
     ni = topo.n_internal
     mask = jnp.asarray(_patch_mask(topo, cfg["patches"]), geom.magsf.dtype)
     p_b = _bface_field(ctx, "p")
     rho = ctx.get("rho_ref", 1.0)
-    fp = geom.sf[ni:] * (rho * p_b)[:, None]
+    p_ref = cfg.get("pRef", 0.0)
+    fp = geom.sf[ni:] * (rho * (p_b - p_ref))[:, None]
     fv = 0.0
     if "gradU_b" in ctx:
         gradU_b = ctx["gradU_b"]  # (nb,3,3), grad[i,j]=dU_j/dx_i

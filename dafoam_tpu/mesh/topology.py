@@ -316,6 +316,9 @@ def apply_cell_permutation(topo: MeshTopology, perm: np.ndarray) -> MeshTopology
     for f in np.nonzero(flip)[0]:
         k = face_nverts[f]
         face_verts[f, :k] = face_verts[f, :k][::-1]
+        # padding slots must repeat slot 0 (geometry.py relies on it when
+        # subtracting pad contributions from face-centre sums)
+        face_verts[f, k:] = face_verts[f, 0]
 
     key = own_i2.astype(np.int64) * n + nei_i2.astype(np.int64)
     forder = np.argsort(key, kind="stable")

@@ -4,7 +4,7 @@ The reference piggybacks on OpenFOAM time-directory IO (SURVEY.md §5.4:
 every primal writes time folders; the unsteady adjoint re-reads states per
 reverse step; renameSolution snapshots per major iteration). TPU-native
 equivalent: flat .npz archives of the state pytree (+ optional stacked
-time history), written asynchronously off the device.
+time history). Writes are synchronous (arrays are fetched to host first).
 """
 
 from __future__ import annotations
@@ -20,6 +20,9 @@ def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
+            if "/" in str(k):
+                raise ValueError(
+                    f"checkpoint keys must not contain '/': {k!r}")
             out.update(_flatten(v, f"{prefix}{k}/"))
     else:
         out[prefix[:-1]] = np.asarray(tree)
