@@ -1,178 +1,802 @@
-"""OpenMDAO / MPhys coupling layer (optional dependency).
+"""OpenMDAO / MPhys coupling layer.
 
 API parity with the reference's dafoam/mphys/mphys_dafoam.py: a Builder
-plus implicit/explicit components so dafoam_tpu slots into existing MPhys
-aerostructural/aerothermal models (DAFoamBuilder:16, DAFoamSolver:232,
-DAFoamFunctions:687, DAFoamWarper:804, DAFoamForces:1004,
-DAFoamThermal:862). Requires `openmdao`+`mphys` installed; everything here
-is a thin shell over the solver's jitted primal/adjoint entry points — the
-heavy lifting (vjp products, GMRES) is the same code the standalone driver
-uses.
+plus the full component roster — DAFoamSolver (implicit, :232 with
+solve_nonlinear :314 / apply_linear :375 / solve_linear :433),
+DAFoamMesh (:614), DAFoamFunctions (:687), DAFoamWarper (:804),
+DAFoamThermal (:862), DAFoamFaceCoords (:954), DAFoamForces (:1004),
+DAFoamBuilderUnsteady/DAFoamSolverUnsteady (:1250/:1290), and
+DAFoamLinearConstraint (:1682).
+
+All heavy lifting is the solver's jitted vjp/GMRES machinery; every
+``calcJacTVecProduct`` call in the reference becomes one ``jax.vjp``
+against the packed-state / flat-design-array boundary.
+
+When openmdao is installed the components bind to the real classes; this
+environment has none, so they bind to dafoam_tpu.mdo.om_shim — a faithful
+stand-in of the API subset used here whose ``Problem.compute_totals``
+drives the identical solve_nonlinear -> solve_linear -> apply_linear ->
+compute_jacvec_product reverse-sweep cycle (exercised by
+tests/test_mphys.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-try:
+try:  # pragma: no cover - optional dependency
     import openmdao.api as om
     HAS_OM = True
-except Exception:  # pragma: no cover - optional dependency
+except Exception:
+    from dafoam_tpu.mdo import om_shim as om
     HAS_OM = False
 
-try:
+try:  # pragma: no cover
     from mphys.builder import Builder as _MphysBuilder
-except Exception:  # pragma: no cover
+except Exception:
     _MphysBuilder = object
 
 
-def _require_om():
-    if not HAS_OM:
-        raise ImportError(
-            "openmdao is not installed; the MPhys layer is optional. "
-            "Use dafoam_tpu.mdo.optimize.ShapeOptProblem for the "
-            "standalone driver.")
+# ---------------------------------------------------------------------------
+# helpers shared by the components
+# ---------------------------------------------------------------------------
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _input_names(solver, component):
+    """inputInfo entries attached to a given component kind."""
+    info = solver.option.get("inputInfo", {}) or {}
+    return [n for n, cfg in info.items()
+            if component in cfg.get("components", [])]
+
+
+def _output_name(solver, component):
+    info = solver.option.get("outputInfo", {}) or {}
+    for n, cfg in info.items():
+        if component in cfg.get("components", []):
+            return n, cfg
+    return None, None
+
+
+def _build_tree(solver, input_reg, om_inputs, names):
+    """inputs pytree with every named flat design array injected."""
+    jnp = _jnp()
+    t = solver.make_inputs()
+    for name in names:
+        if name in om_inputs:
+            t = input_reg.apply(name, t,
+                                jnp.asarray(om_inputs[name], solver.dtype))
+    return t
 
 
 class DAFoamBuilder(_MphysBuilder):
-    """MPhys builder (reference DAFoamBuilder, mphys_dafoam.py:16)."""
+    """MPhys builder (reference DAFoamBuilder, mphys_dafoam.py:16).
 
-    def __init__(self, options, mesh_pair, scenario="aerodynamic"):
-        _require_om()
+    mesh_pair: (points, topo) — the volume mesh the solver runs on (the
+    reference reads it from the OpenFOAM case directory instead).
+    """
+
+    def __init__(self, options, mesh_pair, scenario="aerodynamic",
+                 run_directory=""):
         self.options_dict = options
         self.points, self.topo = mesh_pair
         self.scenario = scenario
         self.solver = None
 
-    def initialize(self, comm):
+    def initialize(self, comm=None):
         from dafoam_tpu.solvers import make_solver
 
         self.solver = make_solver(self.options_dict, self.topo, self.points)
 
+    def get_solver(self):
+        return self.solver
+
     def get_coupling_group_subsystem(self, scenario_name=None):
-        return DAFoamSolverComp(solver=self.solver)
+        grp = om.Group()
+        names = _input_names(self.solver, "solver")
+        has_vol = any(
+            self.solver.option["inputInfo"][n]["type"] == "volCoord"
+            for n in names)
+        if has_vol:
+            grp.add_subsystem("deformer", DAFoamWarper(solver=self.solver),
+                              promotes=["*"])
+        grp.add_subsystem("solver", DAFoamSolver(solver=self.solver),
+                          promotes=["*"])
+        if self.scenario == "aerostructural":
+            grp.add_subsystem("force", DAFoamForces(solver=self.solver),
+                              promotes=["*"])
+        if self.scenario == "aerothermal":
+            grp.add_subsystem("thermal", DAFoamThermal(solver=self.solver),
+                              promotes=["*"])
+        return grp
 
     def get_mesh_coordinate_subsystem(self, scenario_name=None):
-        return DAFoamMeshComp(solver=self.solver)
+        return DAFoamMesh(solver=self.solver)
 
     def get_post_coupling_subsystem(self, scenario_name=None):
-        return DAFoamFunctionsComp(solver=self.solver)
+        return DAFoamFunctions(solver=self.solver)
 
-    def get_number_of_nodes(self):
-        return self.topo.n_points
+    def get_pre_coupling_subsystem(self, scenario_name=None):
+        return None
+
+    def get_number_of_nodes(self, groupName=None):
+        from dafoam_tpu.outputs import patch_point_ids
+
+        return len(patch_point_ids(
+            self.solver.topo, self.solver.option.get("designSurfaces", [])))
 
     def get_ndof(self):
         return 3
 
 
-if HAS_OM:
+class DAFoamMesh(om.ExplicitComponent):
+    """Initial surface mesh coordinates of the design surfaces
+    (reference DAFoamMesh, mphys_dafoam.py:614)."""
 
-    class DAFoamMeshComp(om.IndepVarComp):
-        """Initial surface mesh provider (reference DAFoamMesh:614)."""
+    def initialize(self):
+        self.options.declare("solver", recordable=False)
 
-        def initialize(self):
-            self.options.declare("solver")
+    def setup(self):
+        from dafoam_tpu.outputs import patch_point_ids
 
-        def setup(self):
-            solver = self.options["solver"]
-            self.add_output("x_aero0",
-                            val=np.asarray(solver.points).ravel(),
-                            distributed=False)
+        solver = self.options["solver"]
+        self.discipline = solver.option.get("discipline", "aero")
+        pids = patch_point_ids(solver.topo,
+                               solver.option.get("designSurfaces", []))
+        x0 = np.asarray(solver.points)[pids].ravel()
+        self.add_output(f"x_{self.discipline}0", val=x0, distributed=True,
+                        tags=["mphys_coordinates"])
 
-    class DAFoamSolverComp(om.ImplicitComponent):
-        """Implicit CFD component (reference DAFoamSolver:232):
-        solve_nonlinear = primal; solve_linear = adjoint GMRES;
-        apply_linear = matrix-free vjp products."""
+    def compute(self, inputs, outputs):
+        pass
 
-        def initialize(self):
-            self.options.declare("solver")
 
-        def setup(self):
-            import jax.numpy as jnp
+class DAFoamSolver(om.ImplicitComponent):
+    """Implicit CFD component (reference DAFoamSolver, mphys_dafoam.py:232).
 
-            self.solver = self.options["solver"]
-            self.inputs_tree = self.solver.make_inputs()
-            n = self.solver.layout.n_states
-            self.add_input("dafoam_vol_coords",
-                           val=np.asarray(self.inputs_tree["points"]).ravel())
-            self.add_output("dafoam_states", val=np.zeros(n))
-            self._psi = None
+    Output = packed state vector; residual = the packed NORMALIZED
+    residuals the adjoint is formulated in (normalizeResiduals semantics,
+    DAMacroFunctions.H:28-50). solve_linear solves dR/dW^T psi = dF/dW
+    matrix-free; apply_linear produces dR/dW^T psi and dR/dx^T psi."""
 
-        def _tree_inputs(self, inputs):
-            import jax.numpy as jnp
+    def initialize(self):
+        self.options.declare("solver", recordable=False)
+        self.options.declare("run_directory", default="")
 
-            t = dict(self.inputs_tree)
-            t["points"] = jnp.asarray(
-                inputs["dafoam_vol_coords"].reshape(-1, 3),
-                self.solver.dtype)
-            return t
+    def setup(self):
+        from dafoam_tpu.inputs import InputRegistry
 
-        def solve_nonlinear(self, inputs, outputs):
-            t = self._tree_inputs(inputs)
-            state, info = self.solver.run_primal(self.solver.init_state(), t)
-            if bool(info.failed):
-                raise om.AnalysisError("dafoam_tpu primal failed")
-            outputs["dafoam_states"] = np.asarray(
-                self.solver.layout.pack(state))
+        self.solver = self.options["solver"]
+        solver = self.solver
+        self.discipline = solver.option.get("discipline", "aero")
+        self.stateName = f"{self.discipline}_states"
+        self.input_reg = InputRegistry(solver,
+                                       solver.option.get("inputInfo", {}))
+        self.in_names = _input_names(solver, "solver")
+        self._psi_packed = None
+        self._state = None       # converged state pytree cache
 
-        def apply_nonlinear(self, inputs, outputs, residuals):
-            t = self._tree_inputs(inputs)
-            st = self.solver.layout.unpack(outputs["dafoam_states"])
-            res = self.solver._norm_residuals(st, t)
-            residuals["dafoam_states"] = np.asarray(
-                self.solver.layout.pack(res))
+        self.add_output(self.stateName, distributed=True,
+                        val=np.asarray(solver.layout.pack(
+                            solver.init_state())),
+                        tags=["mphys_coupling"])
+        for name in self.in_names:
+            cfg = solver.option["inputInfo"][name]
+            if cfg["type"] == "volCoord":
+                val = np.asarray(solver.points).ravel()
+            else:
+                val = np.zeros(self.input_reg.size(name))
+            self.add_input(name, val=val,
+                           distributed=self.input_reg.distributed(name),
+                           tags=["mphys_coupling"])
 
-        def solve_linear(self, d_outputs, d_residuals, mode):
-            import jax
+    # -- helpers --------------------------------------------------------
+    def _tree(self, inputs):
+        return _build_tree(self.solver, self.input_reg, inputs,
+                           self.in_names)
 
-            assert mode == "rev"
-            t = self.inputs_tree
-            st = self._last_state if hasattr(self, "_last_state") else None
-            # handled by MPhys calling conventions; simplified entry
-            raise NotImplementedError(
-                "use run_adjoint via DAFoamFunctionsComp totals")
+    def _packed_res_fn(self):
+        solver = self.solver
 
-    class DAFoamFunctionsComp(om.ExplicitComponent):
-        """Objective/constraint evaluation with adjoint-based totals
-        (reference DAFoamFunctions:687 + solve_linear path combined)."""
+        def f(w_packed, tree):
+            st = solver.layout.unpack(w_packed)
+            return solver.layout.pack(solver._norm_residuals(st, tree))
 
-        def initialize(self):
-            self.options.declare("solver")
+        return f
 
-        def setup(self):
-            self.solver = self.options["solver"]
-            self.inputs_tree = self.solver.make_inputs()
-            self.add_input("dafoam_vol_coords",
-                           val=np.asarray(self.inputs_tree["points"]).ravel())
-            for name in self.solver.option["function"]:
-                self.add_output(name, val=0.0)
-            self._cache = None
+    # -- nonlinear ------------------------------------------------------
+    def solve_nonlinear(self, inputs, outputs):
+        import jax.numpy as jnp
 
-        def compute(self, inputs, outputs):
-            import jax.numpy as jnp
+        solver = self.solver
+        tree = self._tree(inputs)
+        # mesh-quality gate (reference checkMesh, mphys_dafoam.py:325-330)
+        from dafoam_tpu.mesh.check import check_mesh
 
-            t = dict(self.inputs_tree)
-            t["points"] = jnp.asarray(
-                inputs["dafoam_vol_coords"].reshape(-1, 3),
-                self.solver.dtype)
-            state, info = self.solver.run_primal(self.solver.init_state(), t)
-            if bool(info.failed):
-                raise om.AnalysisError("dafoam_tpu primal failed")
-            self._cache = (t, state)
-            for name in self.solver.option["function"]:
-                outputs[name] = float(
-                    self.solver.run_function(name, state, t))
+        ok, _report = check_mesh(
+            solver.geometry(tree), solver.topo,
+            solver.option.get("checkMeshThreshold", {}) or {})
+        if not ok:
+            raise om.AnalysisError("Mesh quality error!")
+        st0 = self._state if self._state is not None else solver.init_state()
+        state, info = solver.run_primal(st0, tree)
+        if bool(info.failed):
+            # restart from scratch once (reference resetStateVals analog)
+            state, info = solver.run_primal(solver.init_state(), tree)
+        if bool(info.failed):
+            raise om.AnalysisError("dafoam_tpu primal failed")
+        self._state = state
+        outputs[self.stateName] = np.asarray(solver.layout.pack(state))
 
-        def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
-            if mode != "rev" or self._cache is None:
-                return
-            t, state = self._cache
-            for name in self.solver.option["function"]:
-                seed = float(d_outputs.get(name, 0.0))
-                if seed == 0.0:
+    def apply_nonlinear(self, inputs, outputs, residuals):
+        import jax.numpy as jnp
+
+        solver = self.solver
+        tree = self._tree(inputs)
+        w = jnp.asarray(outputs[self.stateName], solver.dtype)
+        f = solver._jitted("mphys_res", self._packed_res_fn())
+        residuals[self.stateName] = np.asarray(f(w, tree))
+
+    def linearize(self, inputs, outputs, residuals):
+        # cache the converged state + inputs the adjoint linearizes about
+        self._state = self.solver.layout.unpack(
+            _jnp().asarray(outputs[self.stateName], self.solver.dtype))
+        self._tree_cache = self._tree(inputs)
+
+    # -- linear (adjoint) -------------------------------------------------
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        if mode == "fwd":
+            om.issue_warning("fwd mode not implemented",
+                             category=om.OpenMDAOWarning)
+            return
+        import jax
+        import jax.numpy as jnp
+
+        solver = self.solver
+        if self.stateName not in d_residuals:
+            return
+        seed = jnp.asarray(d_residuals[self.stateName], solver.dtype)
+        tree = self._tree(inputs)
+        w = jnp.asarray(outputs[self.stateName], solver.dtype)
+        res_fn = self._packed_res_fn()
+
+        if self.stateName in d_outputs:
+            def dRdWT(wv, tr, sd):
+                _, fv = jax.vjp(lambda ww: res_fn(ww, tr), wv)
+                return fv(sd)[0]
+
+            f = solver._jitted("mphys_dRdWT", dRdWT)
+            d_outputs[self.stateName] = (d_outputs[self.stateName]
+                                         + np.asarray(f(w, tree, seed)))
+
+        for name in self.in_names:
+            if name not in d_inputs:
+                continue
+            arr = jnp.asarray(inputs[name], solver.dtype)
+
+            def dRdxT(wv, tr, a, sd, _name=name):
+                def g(aa):
+                    return res_fn(wv, self.input_reg.apply(_name, tr, aa))
+
+                _, fv = jax.vjp(g, a)
+                return fv(sd)[0]
+
+            f = solver._jitted(("mphys_dRdxT", name), dRdxT)
+            d_inputs[name] = d_inputs[name] + np.asarray(
+                f(w, tree, arr, seed))
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        if mode == "fwd":
+            om.issue_warning("fwd mode not implemented",
+                             category=om.OpenMDAOWarning)
+            return
+        import jax.numpy as jnp
+
+        solver = self.solver
+        if self._state is None:
+            raise RuntimeError("solve_linear before solve_nonlinear")
+        dFdW = solver.layout.unpack(
+            jnp.asarray(d_outputs[self.stateName], solver.dtype))
+        psi0 = None
+        if (solver.option["adjEqnOption"].get("useNonZeroInitGuess", False)
+                and self._psi_packed is not None):
+            psi0 = solver.layout.unpack(
+                jnp.asarray(self._psi_packed, solver.dtype))
+        tree = (self._tree_cache if getattr(self, "_tree_cache", None)
+                is not None else solver.make_inputs())
+        if psi0 is None:
+            psi, info = solver._jitted(
+                "mphys_solve_linear",
+                lambda s, t, rhs: solver.solve_adjoint_rhs(s, t, rhs))(
+                    self._state, tree, dFdW)
+        else:
+            psi, info = solver._jitted(
+                "mphys_solve_linear_ws",
+                lambda s, t, rhs, p0: solver.solve_adjoint_rhs(
+                    s, t, rhs, psi0=p0))(self._state, tree, dFdW, psi0)
+        self._psi_packed = np.asarray(solver.layout.pack(psi))
+        d_residuals[self.stateName] = self._psi_packed.copy()
+        if not bool(info.converged):
+            om.issue_warning(
+                f"adjoint GMRES not fully converged: resid={info.resid}",
+                category=om.OpenMDAOWarning)
+
+
+class DAFoamFunctions(om.ExplicitComponent):
+    """Objective/constraint evaluation + partials (reference
+    DAFoamFunctions, mphys_dafoam.py:687)."""
+
+    def initialize(self):
+        self.options.declare("solver", recordable=False)
+
+    def setup(self):
+        from dafoam_tpu.inputs import InputRegistry
+
+        self.solver = self.options["solver"]
+        solver = self.solver
+        self.discipline = solver.option.get("discipline", "aero")
+        self.stateName = f"{self.discipline}_states"
+        self.input_reg = InputRegistry(solver,
+                                       solver.option.get("inputInfo", {}))
+        self.in_names = _input_names(solver, "function")
+        self.add_input(self.stateName, distributed=True,
+                       val=np.zeros(solver.layout.n_states),
+                       tags=["mphys_coupling"])
+        for name in self.in_names:
+            cfg = solver.option["inputInfo"][name]
+            val = (np.asarray(solver.points).ravel()
+                   if cfg["type"] == "volCoord"
+                   else np.zeros(self.input_reg.size(name)))
+            self.add_input(name, val=val,
+                           distributed=self.input_reg.distributed(name),
+                           tags=["mphys_coupling"])
+        for f_name in solver.option.get("function", {}):
+            self.add_output(f_name, distributed=False, shape=1)
+
+    def _tree(self, inputs):
+        return _build_tree(self.solver, self.input_reg, inputs,
+                           self.in_names)
+
+    def compute(self, inputs, outputs):
+        import jax.numpy as jnp
+
+        solver = self.solver
+        tree = self._tree(inputs)
+        st = solver.layout.unpack(
+            jnp.asarray(inputs[self.stateName], solver.dtype))
+        for f_name in solver.option["function"]:
+            outputs[f_name] = float(solver.run_function(f_name, st, tree))
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        if mode == "fwd":
+            om.issue_warning("fwd mode not implemented",
+                             category=om.OpenMDAOWarning)
+            return
+        import jax
+        import jax.numpy as jnp
+
+        solver = self.solver
+        w = jnp.asarray(inputs[self.stateName], solver.dtype)
+        for f_name in solver.option["function"]:
+            if f_name not in d_outputs:
+                continue
+            seed = float(np.asarray(d_outputs[f_name]).ravel()[0])
+            if abs(seed) < 1e-300:
+                continue
+            if self.stateName in d_inputs:
+                def dFdW(wv, tr, _f=f_name):
+                    return jax.grad(lambda ww: solver.eval_function(
+                        _f, solver.layout.unpack(ww), tr))(wv)
+
+                f = solver._jitted(("mphys_dFdW", f_name), dFdW)
+                d_inputs[self.stateName] = (
+                    d_inputs[self.stateName]
+                    + seed * np.asarray(f(w, self._tree(inputs))))
+            tree = self._tree(inputs)
+            for name in self.in_names:
+                if name not in d_inputs:
                     continue
-                psi, _ = self.solver.run_adjoint(name, state, t)
-                tot = self.solver.run_totals(name, state, t, psi)
-                if "dafoam_vol_coords" in d_inputs:
-                    d_inputs["dafoam_vol_coords"] += seed * np.asarray(
-                        tot["points"]).ravel()
+                arr = jnp.asarray(inputs[name], solver.dtype)
+
+                def dFdx(wv, tr, a, _f=f_name, _name=name):
+                    def g(aa):
+                        return solver.eval_function(
+                            _f, solver.layout.unpack(wv),
+                            self.input_reg.apply(_name, tr, aa))
+
+                    return jax.grad(g)(a)
+
+                f = solver._jitted(("mphys_dFdx", f_name, name), dFdx)
+                d_inputs[name] = d_inputs[name] + seed * np.asarray(
+                    f(w, tree, arr))
+
+
+class DAFoamWarper(om.ExplicitComponent):
+    """Volume mesh warping from design-surface coordinates (reference
+    DAFoamWarper, mphys_dafoam.py:804; IDWarp replaced by the in-house
+    inverse-distance warp, dafoam_tpu/mdo/warp.py)."""
+
+    def initialize(self):
+        self.options.declare("solver", recordable=False)
+
+    def setup(self):
+        from dafoam_tpu.mdo.warp import IDWarp
+        from dafoam_tpu.outputs import patch_point_ids
+
+        self.solver = self.options["solver"]
+        solver = self.solver
+        self.discipline = solver.option.get("discipline", "aero")
+        topo = solver.topo
+        design = solver.option.get("designSurfaces", [])
+        self.surf_ids = patch_point_ids(topo, design)
+        pts0 = np.asarray(solver.points)
+        self.x_s0 = pts0[self.surf_ids]
+        # points on non-design boundary patches stay fixed
+        fixed = set()
+        for p in topo.patches:
+            if p.name in design or p.kind == "empty":
+                continue
+            fixed.update(patch_point_ids(topo, [p.name]).tolist())
+        fixed -= set(self.surf_ids.tolist())
+        self.warp = IDWarp(pts0, self.surf_ids,
+                           np.asarray(sorted(fixed), dtype=np.int64))
+        self.add_input(f"x_{self.discipline}", distributed=True,
+                       val=self.x_s0.ravel(), tags=["mphys_coupling"])
+        self.add_output(f"{self.discipline}_vol_coords", distributed=True,
+                        val=pts0.ravel(), tags=["mphys_coupling"])
+
+    def _warp_flat(self, xs_flat):
+        jnp = _jnp()
+        solver = self.solver
+        disp = (xs_flat.reshape(-1, 3)
+                - jnp.asarray(self.x_s0, solver.dtype))
+        return self.warp(jnp.asarray(solver.points, solver.dtype),
+                         disp).ravel()
+
+    def compute(self, inputs, outputs):
+        jnp = _jnp()
+        f = self.solver._jitted("mphys_warp", self._warp_flat)
+        outputs[f"{self.discipline}_vol_coords"] = np.asarray(
+            f(jnp.asarray(inputs[f"x_{self.discipline}"],
+                          self.solver.dtype)))
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        if mode == "fwd":
+            return
+        import jax
+        import jax.numpy as jnp
+
+        vname = f"{self.discipline}_vol_coords"
+        xname = f"x_{self.discipline}"
+        if vname in d_outputs and xname in d_inputs:
+            def vjp(xs, seed):
+                _, fv = jax.vjp(self._warp_flat, xs)
+                return fv(seed)[0]
+
+            f = self.solver._jitted("mphys_warpT", vjp)
+            d_inputs[xname] = d_inputs[xname] + np.asarray(
+                f(jnp.asarray(inputs[xname], self.solver.dtype),
+                  jnp.asarray(d_outputs[vname], self.solver.dtype)))
+
+
+class _CouplingOutputComp(om.ExplicitComponent):
+    """Shared machinery for force/thermal coupling outputs: the output is a
+    pure function of (packed states, vol coords); partials are vjps."""
+
+    component_kind = None    # "forceCoupling" | "thermalCoupling"
+    out_alias = None         # fixed OM variable name ("f_aero") or None
+
+    def initialize(self):
+        self.options.declare("solver", recordable=False)
+
+    def setup(self):
+        from dafoam_tpu.outputs import OutputRegistry
+
+        self.solver = self.options["solver"]
+        solver = self.solver
+        self.discipline = solver.option.get("discipline", "aero")
+        self.stateName = f"{self.discipline}_states"
+        self.volCoordName = f"{self.discipline}_vol_coords"
+        self.out_reg = OutputRegistry(solver,
+                                      solver.option.get("outputInfo", {}))
+        self.outputName, cfg = _output_name(solver, self.component_kind)
+        if self.outputName is None:
+            raise RuntimeError(
+                f"no outputInfo entry with components containing "
+                f"{self.component_kind!r}")
+        self.outputSize = self.out_reg.size(self.outputName)
+        self.omOutName = self.out_alias or self.outputName
+        self.add_input(self.volCoordName, distributed=True,
+                       val=np.asarray(solver.points).ravel(),
+                       tags=["mphys_coupling"])
+        self.add_input(self.stateName, distributed=True,
+                       val=np.zeros(solver.layout.n_states),
+                       tags=["mphys_coupling"])
+        self.add_output(self.omOutName, distributed=True,
+                        shape=self.outputSize, tags=["mphys_coupling"])
+
+    def _eval_flat(self, w_packed, xv_flat):
+        solver = self.solver
+        tree = solver.make_inputs()
+        tree["points"] = xv_flat.reshape(-1, 3)
+        st = solver.layout.unpack(w_packed)
+        return self.out_reg.evaluate(self.outputName, st, tree)
+
+    def compute(self, inputs, outputs):
+        jnp = _jnp()
+        solver = self.solver
+        f = solver._jitted(("mphys_out", self.outputName), self._eval_flat)
+        outputs[self.omOutName] = np.asarray(
+            f(jnp.asarray(inputs[self.stateName], solver.dtype),
+              jnp.asarray(inputs[self.volCoordName], solver.dtype)))
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        if mode == "fwd":
+            return
+        import jax
+        import jax.numpy as jnp
+
+        solver = self.solver
+        if self.omOutName not in d_outputs:
+            return
+        seed = jnp.asarray(d_outputs[self.omOutName], solver.dtype)
+        w = jnp.asarray(inputs[self.stateName], solver.dtype)
+        xv = jnp.asarray(inputs[self.volCoordName], solver.dtype)
+
+        def vjp(wv, xvv, sd):
+            _, fv = jax.vjp(self._eval_flat, wv, xvv)
+            return fv(sd)
+
+        f = solver._jitted(("mphys_outT", self.outputName), vjp)
+        gw, gx = f(w, xv, seed)
+        if self.stateName in d_inputs:
+            d_inputs[self.stateName] = (d_inputs[self.stateName]
+                                        + np.asarray(gw))
+        if self.volCoordName in d_inputs:
+            d_inputs[self.volCoordName] = (d_inputs[self.volCoordName]
+                                           + np.asarray(gx))
+
+
+class DAFoamForces(_CouplingOutputComp):
+    """FSI surface-force output f_aero: NODAL forces [fX..., fY..., fZ...]
+    (reference DAFoamForces mphys_dafoam.py:1004,
+    DAOutputForceCoupling.C:45-68)."""
+
+    component_kind = "forceCoupling"
+    out_alias = "f_aero"
+
+
+class DAFoamThermal(_CouplingOutputComp):
+    """CHT coupling output [T_nearwall..., kappa/d...] (reference
+    DAFoamThermal mphys_dafoam.py:862, DAOutputThermalCoupling.C:42-66)."""
+
+    component_kind = "thermalCoupling"
+    out_alias = None
+
+
+class DAFoamFaceCoords(om.ExplicitComponent):
+    """Coupling-face coordinates from volume coordinates (reference
+    DAFoamFaceCoords mphys_dafoam.py:954, calcCouplingFaceCoords
+    DASolver.C:1841). Matches the reference layout: one (x,y,z) triple per
+    entry of the thermal coupling output (= 2 per face: the T half and the
+    kappa/d half both carry the face centre)."""
+
+    def initialize(self):
+        self.options.declare("solver", recordable=False)
+
+    def setup(self):
+        from dafoam_tpu.outputs import OutputRegistry, patch_face_ids
+
+        self.solver = self.options["solver"]
+        solver = self.solver
+        self.discipline = solver.option.get("discipline", "aero")
+        self.volCoordName = f"{self.discipline}_vol_coords"
+        self.surfCoordName = f"x_{self.discipline}_surface0"
+        name, cfg = _output_name(solver, "thermalCoupling")
+        if name is None:
+            raise RuntimeError("no thermalCoupling output found!")
+        self.fids = patch_face_ids(solver.topo, cfg["patches"])
+        reg = OutputRegistry(solver, solver.option["outputInfo"])
+        self.nSurfCoords = reg.size(name) * 3
+        self.add_input(self.volCoordName, distributed=True,
+                       val=np.asarray(solver.points).ravel(),
+                       tags=["mphys_coupling"])
+        self.add_output(self.surfCoordName, distributed=True,
+                        shape=self.nSurfCoords, tags=["mphys_coupling"])
+
+    def compute(self, inputs, outputs):
+        import jax.numpy as jnp
+
+        from dafoam_tpu.mesh.geometry import compute_geometry
+
+        solver = self.solver
+        pts = jnp.asarray(inputs[self.volCoordName],
+                          solver.dtype).reshape(-1, 3)
+        geom = compute_geometry(pts, solver.topo)
+        cf = geom.cf[jnp.asarray(self.fids)]
+        outputs[self.surfCoordName] = np.asarray(
+            jnp.concatenate([cf, cf], axis=0).ravel())
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        # load-transfer tools treat surface0 as fixed (zero seed) —
+        # reference passes here too (mphys_dafoam.py:1000)
+        pass
+
+
+class DAFoamLinearConstraint(om.ExplicitComponent):
+    """Per-pair linear combinations out_i = coeffA[i]*varA[i] +
+    coeffB[i]*varB[i] (reference DAFoamLinearConstraint,
+    mphys_dafoam.py:1682)."""
+
+    def initialize(self):
+        self.options.declare("varA", recordable=False)
+        self.options.declare("coeffA", recordable=False, default=1.0)
+        self.options.declare("varB", recordable=False)
+        self.options.declare("coeffB", recordable=False, default=1.0)
+        self.options.declare("size", recordable=False, default=1)
+        self.options.declare("output_name", recordable=False, default="con")
+
+    def setup(self):
+        varA, varB = self.options["varA"], self.options["varB"]
+        n = len(varA)
+        assert len(varB) == n
+
+        def bcast(v):
+            return list(v) if isinstance(v, (list, tuple)) else [v] * n
+
+        self.cA = [float(c) for c in bcast(self.options["coeffA"])]
+        self.cB = [float(c) for c in bcast(self.options["coeffB"])]
+        self.sizes = [int(s) for s in bcast(self.options["size"])]
+        self.base = self.options["output_name"]
+        for i in range(n):
+            self.add_input(varA[i], shape=self.sizes[i],
+                           val=np.zeros(self.sizes[i]))
+            self.add_input(varB[i], shape=self.sizes[i],
+                           val=np.zeros(self.sizes[i]))
+            self.add_output(f"{self.base}_{i}", shape=self.sizes[i],
+                            val=np.zeros(self.sizes[i]))
+
+    def compute(self, inputs, outputs):
+        varA, varB = self.options["varA"], self.options["varB"]
+        for i in range(len(varA)):
+            outputs[f"{self.base}_{i}"] = (
+                self.cA[i] * np.asarray(inputs[varA[i]])
+                + self.cB[i] * np.asarray(inputs[varB[i]]))
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        if mode == "fwd":
+            return
+        varA, varB = self.options["varA"], self.options["varB"]
+        for i in range(len(varA)):
+            oname = f"{self.base}_{i}"
+            if oname not in d_outputs:
+                continue
+            seed = np.asarray(d_outputs[oname])
+            if varA[i] in d_inputs:
+                d_inputs[varA[i]] = d_inputs[varA[i]] + self.cA[i] * seed
+            if varB[i] in d_inputs:
+                d_inputs[varB[i]] = d_inputs[varB[i]] + self.cB[i] * seed
+
+
+class DAFoamSolverUnsteady(om.ExplicitComponent):
+    """Unsteady (time-accurate) solver + adjoint component (reference
+    DAFoamSolverUnsteady, mphys_dafoam.py:1290: primal writes the time
+    history; compute_jacvec_product reverse-sweeps it, :1390-1679). Here
+    the history is the stacked pytree from solve_primal_history and the
+    reverse sweep is adjoint.unsteady.unsteady_adjoint_totals."""
+
+    def initialize(self):
+        self.options.declare("solver", recordable=False)
+        self.options.declare("run_directory", default="")
+
+    def setup(self):
+        from dafoam_tpu.inputs import InputRegistry
+
+        self.solver = self.options["solver"]
+        solver = self.solver
+        self.discipline = solver.option.get("discipline", "aero")
+        self.input_reg = InputRegistry(solver,
+                                       solver.option.get("inputInfo", {}))
+        self.in_names = _input_names(solver, "solver")
+        for name in self.in_names:
+            cfg = solver.option["inputInfo"][name]
+            val = (np.asarray(solver.points).ravel()
+                   if cfg["type"] == "volCoord"
+                   else np.zeros(self.input_reg.size(name)))
+            self.add_input(name, val=val,
+                           distributed=self.input_reg.distributed(name),
+                           tags=["mphys_coupling"])
+        for f_name in solver.option.get("function", {}):
+            self.add_output(f_name, distributed=False, shape=1)
+        self._hist = None
+        self._tree_cache = None
+
+    def _tree(self, inputs):
+        return _build_tree(self.solver, self.input_reg, inputs,
+                           self.in_names)
+
+    def compute(self, inputs, outputs):
+        import jax
+
+        solver = self.solver
+        tree = self._tree(inputs)
+        stT, hist = solver._jitted(
+            "mphys_unsteady",
+            lambda s, t: solver.solve_primal_history(s, t))(
+                solver.init_state(), tree)
+        if not bool(solver.states_valid(stT)):
+            raise om.AnalysisError("dafoam_tpu unsteady primal failed")
+        self._hist, self._tree_cache = hist, tree
+        for f_name in solver.option["function"]:
+            J, _ = solver.eval_function_history(f_name, hist, tree)
+            outputs[f_name] = float(J)
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        if mode == "fwd" or self._hist is None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        solver = self.solver
+        tree = self._tree_cache
+        for f_name in solver.option["function"]:
+            if f_name not in d_outputs:
+                continue
+            seed = float(np.asarray(d_outputs[f_name]).ravel()[0])
+            if abs(seed) < 1e-300:
+                continue
+            totals, _ = solver.solve_unsteady_adjoint(self._hist, tree,
+                                                      f_name)
+            for name in self.in_names:
+                if name not in d_inputs:
+                    continue
+                arr = jnp.asarray(inputs[name], solver.dtype)
+
+                # pull the pytree totals back onto the flat design array
+                def inject(a, _name=name):
+                    return self.input_reg.apply(_name, tree, a)
+
+                _, fv = jax.vjp(inject, arr)
+                (g,) = fv(jax.tree_util.tree_map(
+                    lambda t: jnp.asarray(t, solver.dtype), totals))
+                d_inputs[name] = d_inputs[name] + seed * np.asarray(g)
+
+
+class DAFoamBuilderUnsteady(om.Group):
+    """Unsteady builder group (reference DAFoamBuilderUnsteady,
+    mphys_dafoam.py:1250): optional warper + unsteady solver, promoted."""
+
+    def initialize(self):
+        self.options.declare("solver_options")
+        self.options.declare("mesh_pair", default=None)
+        self.options.declare("run_directory", default="")
+
+    def setup(self):
+        from dafoam_tpu.solvers import make_solver
+
+        if getattr(self, "_built", False):
+            return
+        self._built = True
+        opts = self.options["solver_options"]
+        points, topo = self.options["mesh_pair"]
+        self.DASolver = make_solver(opts, topo, points)
+        info = opts.get("inputInfo", {}) or {}
+        if any(cfg["type"] == "volCoord" and "solver" in cfg["components"]
+               for cfg in info.values()):
+            self.add_subsystem("warper", DAFoamWarper(solver=self.DASolver),
+                               promotes=["*"])
+        self.add_subsystem("solver",
+                           DAFoamSolverUnsteady(solver=self.DASolver),
+                           promotes=["*"])
+
+    def get_surface_mesh(self):
+        from dafoam_tpu.outputs import patch_point_ids
+
+        pids = patch_point_ids(
+            self.DASolver.topo, self.DASolver.option.get("designSurfaces",
+                                                         []))
+        return np.asarray(self.DASolver.points)[pids].ravel()

@@ -176,15 +176,18 @@ class DASolverBase:
         """Override: return a GMRES preconditioner callable (or None)."""
         return None
 
-    def solve_adjoint(self, state, inputs, func_name, psi0=None,
-                      precond=None):
+    def solve_adjoint_rhs(self, state, inputs, dJdW, psi0=None,
+                          precond=None):
+        """Solve dR/dW^T psi = dJdW for a caller-supplied RHS pytree.
+
+        This is the MPhys ``solve_linear`` contract (reference
+        mphys_dafoam.py:433-574: the RHS comes from d_outputs, not from a
+        named function)."""
         opt = self.option["adjEqnOption"]
         geom = self.geometry(inputs)
         scales = self.state_scales(geom)
         if precond is None and opt.get("pcType", "none") != "none":
             precond = self.make_adjoint_pc(state, inputs)
-        dJdW = jax.grad(
-            lambda w: self.eval_function(func_name, w, inputs))(state)
         res_fn = lambda w, x: self._norm_residuals(w, x)  # noqa: E731
         psi, info = adjsolver.adjoint_solve(
             res_fn, state, inputs, dJdW,
@@ -194,6 +197,13 @@ class DASolverBase:
             abs_tol=opt["gmresAbsTol"], max_iters=opt["gmresMaxIters"],
             psi0=psi0)
         return psi, info
+
+    def solve_adjoint(self, state, inputs, func_name, psi0=None,
+                      precond=None):
+        dJdW = jax.grad(
+            lambda w: self.eval_function(func_name, w, inputs))(state)
+        return self.solve_adjoint_rhs(state, inputs, dJdW, psi0=psi0,
+                                      precond=precond)
 
     def total_derivative(self, state, inputs, func_name, psi):
         return adjsolver.total_derivative(

@@ -1,0 +1,324 @@
+"""MPhys/OpenMDAO coupling layer contract tests.
+
+The env has no openmdao, so these run on dafoam_tpu.mdo.om_shim — a
+faithful stand-in for the API subset the components use. The key test
+drives the FULL reference cycle (mphys_dafoam.py DAFoamSolver:232):
+run_model (solve_nonlinear) -> compute_totals (compute_jacvec_product ->
+solve_linear -> apply_linear reverse sweep) and checks the assembled
+total dJ/d(surface coords) against a finite difference of the whole
+model chain (warp -> primal -> function), mirroring the reference's
+adjoint-vs-FD oracle (tests/testFuncs.py)."""
+
+import numpy as np
+import pytest
+
+from dafoam_tpu.mdo import om_shim as om
+from dafoam_tpu.mdo.mphys import (
+    DAFoamFaceCoords,
+    DAFoamForces,
+    DAFoamFunctions,
+    DAFoamLinearConstraint,
+    DAFoamMesh,
+    DAFoamSolver,
+    DAFoamThermal,
+    DAFoamWarper,
+    HAS_OM,
+)
+from dafoam_tpu.mesh import box_hex_mesh
+from dafoam_tpu.solvers import make_solver
+
+N = 10
+
+
+def cavity_options():
+    zero = [0.0, 0.0, 0.0]
+    return {
+        "solverName": "DASimpleFoam",
+        "turbulenceModel": "None",
+        "discipline": "aero",
+        "designSurfaces": ["ymax"],
+        "transportProperties": {"nu": 0.01},
+        "boundaryConditions": {
+            "U": {"ymax": {"type": "fixedValue", "value": [1.0, 0.0, 0.0]},
+                  "ymin": {"type": "fixedValue", "value": zero},
+                  "xmin": {"type": "fixedValue", "value": zero},
+                  "xmax": {"type": "fixedValue", "value": zero}},
+            "p": {n: {"type": "zeroGradient"}
+                  for n in ("xmin", "xmax", "ymin", "ymax")},
+        },
+        "initialFields": {"U": zero, "p": 0.0},
+        "primalMinResTol": 1e-11,
+        "primalMaxIters": 500,
+        "relaxationFactors": {"fields": {"p": 0.3}, "equations": {"U": 0.7}},
+        "function": {
+            "lidForce": {"type": "force", "patches": ["ymax"],
+                         "directionMode": "fixedDirection",
+                         "direction": [1.0, 0.0, 0.0], "scale": 1.0},
+        },
+        "adjEqnOption": {"gmresRelTol": 1e-10, "gmresRestart": 150,
+                         "gmresMaxIters": 3000},
+        "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0},
+        "inputInfo": {
+            "aero_vol_coords": {"type": "volCoord",
+                                "components": ["solver", "function"]},
+        },
+        "outputInfo": {
+            "f_aero": {"type": "forceCouplingOutput",
+                       "patches": ["ymax"],
+                       "components": ["forceCoupling"]},
+        },
+    }
+
+
+def cavity_solver():
+    pts, topo = box_hex_mesh(N, N, 1, (0.1, 0.1, 0.01),
+                             kinds={"zmin": "empty", "zmax": "empty",
+                                    "xmin": "wall", "xmax": "wall",
+                                    "ymin": "wall", "ymax": "wall"})
+    return make_solver(cavity_options(), topo, pts), pts, topo
+
+
+# ---------------------------------------------------------------------------
+# shim self-test: the reverse-sweep assembly on analytic components
+# ---------------------------------------------------------------------------
+class _Doubler(om.ExplicitComponent):
+    def setup(self):
+        self.add_input("x", val=np.zeros(3))
+        self.add_output("y", val=np.zeros(3))
+
+    def compute(self, inputs, outputs):
+        outputs["y"] = 2.0 * inputs["x"]
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        if mode == "rev" and "y" in d_outputs and "x" in d_inputs:
+            d_inputs["x"] = d_inputs["x"] + 2.0 * d_outputs["y"]
+
+
+class _ImplicitCube(om.ImplicitComponent):
+    """R(x, w) = w^3 - x = 0  ->  w = x^(1/3), dw/dx = 1/(3 w^2)."""
+
+    def setup(self):
+        self.add_input("y", val=np.ones(3))
+        self.add_output("w", val=np.ones(3))
+
+    def solve_nonlinear(self, inputs, outputs):
+        outputs["w"] = np.cbrt(inputs["y"])
+
+    def apply_linear(self, inputs, outputs, d_inputs, d_outputs,
+                     d_residuals, mode):
+        if mode != "rev":
+            return
+        w = outputs["w"]
+        psi = d_residuals["w"]
+        if "w" in d_outputs:
+            d_outputs["w"] = d_outputs["w"] + 3.0 * w ** 2 * psi
+        if "y" in d_inputs:
+            d_inputs["y"] = d_inputs["y"] - psi
+
+    def solve_linear(self, d_outputs, d_residuals, mode):
+        if mode == "rev":
+            # (dR/dw)^T psi = wbar, dR/dw = 3 w^2 (diagonal)
+            d_residuals["w"] = d_outputs["w"] / (3.0 * self._w ** 2)
+
+    def linearize(self, inputs, outputs, residuals):
+        self._w = np.asarray(outputs["w"]).copy()
+
+
+class _Obj(om.ExplicitComponent):
+    def setup(self):
+        self.add_input("w", val=np.ones(3))
+        self.add_output("J", val=0.0)
+
+    def compute(self, inputs, outputs):
+        outputs["J"] = float(np.sum(inputs["w"] ** 2))
+
+    def compute_jacvec_product(self, inputs, d_inputs, d_outputs, mode):
+        if mode == "rev" and "J" in d_outputs and "w" in d_inputs:
+            d_inputs["w"] = d_inputs["w"] + 2.0 * inputs["w"] * float(
+                np.asarray(d_outputs["J"]).ravel()[0])
+
+
+def test_shim_reverse_sweep_analytic():
+    model = om.Group()
+    ivc = om.IndepVarComp()
+    ivc.add_output("x", val=np.array([1.0, 2.0, 3.0]))
+    model.add_subsystem("dvs", ivc, promotes=["*"])
+    model.add_subsystem("dbl", _Doubler(), promotes=["*"])
+    model.add_subsystem("imp", _ImplicitCube(), promotes=["*"])
+    model.add_subsystem("obj", _Obj(), promotes=["*"])
+    prob = om.Problem(model).setup()
+    prob.run_model()
+    x = np.array([1.0, 2.0, 3.0])
+    w = np.cbrt(2.0 * x)
+    assert prob["J"] == pytest.approx(float(np.sum(w ** 2)), rel=1e-12)
+    tot = prob.compute_totals(of="J", wrt="x")
+    # dJ/dx = 2w * dw/dy * dy/dx = 2w * (1/(3w^2)) * 2
+    expect = 2.0 * w / (3.0 * w ** 2) * 2.0
+    np.testing.assert_allclose(tot[("J", "x")], expect, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# the real thing: full MPhys cycle on the cavity, totals vs FD
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def aero_model():
+    solver, pts, topo = cavity_solver()
+    model = om.Group()
+    mesh = DAFoamMesh(solver=solver)
+    model.add_subsystem("mesh", mesh, promotes=["*"])
+    ivc = om.IndepVarComp()
+    # design variable: the lid surface coordinates
+    from dafoam_tpu.outputs import patch_point_ids
+
+    pids = patch_point_ids(topo, ["ymax"])
+    ivc.add_output("x_aero", val=np.asarray(pts)[pids].ravel())
+    model.add_subsystem("dvs", ivc, promotes=["*"])
+    model.add_subsystem("deformer", DAFoamWarper(solver=solver),
+                        promotes=["*"])
+    model.add_subsystem("solver", DAFoamSolver(solver=solver),
+                        promotes=["*"])
+    model.add_subsystem("functions", DAFoamFunctions(solver=solver),
+                        promotes=["*"])
+    prob = om.Problem(model).setup()
+    prob.run_model()
+    return prob, solver, pts, topo, pids
+
+
+def test_mphys_run_model(aero_model):
+    prob, solver, pts, topo, pids = aero_model
+    J = float(np.asarray(prob["lidForce"]).ravel()[0])
+    assert np.isfinite(J) and abs(J) > 1e-8
+    # x_aero0 from the mesh comp matches the dv vector
+    np.testing.assert_allclose(prob["x_aero0"], prob["x_aero"], atol=1e-14)
+    # states output is the converged packed state
+    st = solver.layout.unpack(np.asarray(prob["aero_states"]))
+    assert np.isfinite(np.asarray(st["p"])).all()
+
+
+def test_mphys_totals_vs_fd(aero_model):
+    prob, solver, pts, topo, pids = aero_model
+    tot = prob.compute_totals(of="lidForce", wrt="x_aero")[
+        ("lidForce", "x_aero")]
+    assert tot.shape == (len(pids) * 3,)
+
+    # FD through the whole model chain on an interior lid point's y coord
+    x0 = np.asarray(prob["x_aero"]).copy()
+    interior = [i for i, p in enumerate(pids)
+                if 0.02 < pts[p, 0] < 0.08][0]
+    k = 3 * interior + 1
+    h = 1e-6
+    Js = []
+    for s in (+1, -1):
+        xp = x0.copy()
+        xp[k] += s * h
+        prob["x_aero"] = xp
+        prob.run_model()
+        Js.append(float(np.asarray(prob["lidForce"]).ravel()[0]))
+    prob["x_aero"] = x0
+    prob.run_model()
+    fd = (Js[0] - Js[1]) / (2 * h)
+    assert tot[k] == pytest.approx(fd, rel=2e-4, abs=1e-12)
+
+
+def test_mphys_forces_component(aero_model):
+    prob, solver, pts, topo, pids = aero_model
+    import jax.numpy as jnp
+
+    comp = DAFoamForces(solver=solver)
+    comp.setup()
+    w = np.asarray(prob["aero_states"])
+    xv = np.asarray(pts).ravel()
+    ins = {"aero_states": w, "aero_vol_coords": xv}
+    outs = {}
+    comp.compute(ins, outs)
+    f = outs["f_aero"]
+    npts = f.size // 3
+    # nodal force sum == integrated patch force == lidForce function
+    fx = float(np.sum(f[:npts]))
+    J = float(np.asarray(prob["lidForce"]).ravel()[0])
+    assert fx == pytest.approx(J, rel=1e-10)
+
+    # reverse product vs FD along a random state direction
+    rng = np.random.default_rng(3)
+    seed = rng.normal(size=f.size)
+    dW = rng.normal(size=w.size) * 1e-7
+    d_inputs = {"aero_states": np.zeros_like(w),
+                "aero_vol_coords": np.zeros_like(xv)}
+    comp.compute_jacvec_product(ins, d_inputs, {"f_aero": seed}, "rev")
+    lhs = float(d_inputs["aero_states"] @ dW)
+    outs_p, outs_m = {}, {}
+    comp.compute({"aero_states": w + dW, "aero_vol_coords": xv}, outs_p)
+    comp.compute({"aero_states": w - dW, "aero_vol_coords": xv}, outs_m)
+    rhs = float(seed @ (outs_p["f_aero"] - outs_m["f_aero"])) / 2.0
+    assert lhs == pytest.approx(rhs, rel=1e-6, abs=1e-16)
+
+
+def test_mphys_thermal_and_facecoords():
+    NX = 12
+    pts, topo = box_hex_mesh(NX, 4, 1, (1.0, 0.05, 0.01),
+                             kinds={"zmin": "empty", "zmax": "empty"})
+    T_HOT = 350.0
+    opts = {
+        "solverName": "DAHeatTransferFoam",
+        "discipline": "thermal",
+        "transportProperties": {"kappa": 1.0},
+        "boundaryConditions": {
+            "T": {"ymin": {"type": "fixedValue", "value": T_HOT},
+                  "ymax": {"type": "zeroGradient"},
+                  "xmin": {"type": "zeroGradient"},
+                  "xmax": {"type": "zeroGradient"}},
+        },
+        "initialFields": {"T": T_HOT},
+        "primalMinResTol": 1e-8,
+        "primalMaxIters": 200,
+        "function": {},
+        "normalizeStates": {"T": T_HOT},
+        "outputInfo": {
+            "T_convect": {"type": "thermalCouplingOutput",
+                          "patches": ["ymax"],
+                          "components": ["thermalCoupling"]},
+        },
+    }
+    solver = make_solver(opts, topo, pts)
+    inputs = solver.make_inputs()
+    state, info = solver.run_primal(solver.init_state(), inputs)
+    assert bool(info.converged)
+    w = np.asarray(solver.layout.pack(state))
+    xv = np.asarray(pts).ravel()
+
+    comp = DAFoamThermal(solver=solver)
+    comp.setup()
+    outs = {}
+    comp.compute({"thermal_states": w, "thermal_vol_coords": xv}, outs)
+    th = outs["T_convect"]
+    nfaces = topo.patch("ymax").size
+    assert th.shape == (2 * nfaces,)
+    # uniform hot slab: near-wall T == T_HOT, conductance == kappa/d > 0
+    np.testing.assert_allclose(th[:nfaces], T_HOT, rtol=1e-8)
+    assert (th[nfaces:] > 0).all()
+
+    fc = DAFoamFaceCoords(solver=solver)
+    fc.setup()
+    outs2 = {}
+    fc.compute({"thermal_vol_coords": xv}, outs2)
+    sc = outs2["x_thermal_surface0"]
+    assert sc.shape == (2 * nfaces * 3,)
+    cf = sc.reshape(-1, 3)[:nfaces]
+    np.testing.assert_allclose(cf[:, 1], 0.05, atol=1e-12)  # ymax plane
+
+
+def test_linear_constraint():
+    comp = DAFoamLinearConstraint(varA=["CD", "CL"], coeffA=[1.0, 2.0],
+                                  varB=["CM", "CN"], coeffB=-1.0,
+                                  size=1, output_name="con")
+    comp.setup()
+    ins = {"CD": np.array([3.0]), "CL": np.array([4.0]),
+           "CM": np.array([1.0]), "CN": np.array([2.0])}
+    outs = {}
+    comp.compute(ins, outs)
+    assert outs["con_0"][0] == pytest.approx(2.0)
+    assert outs["con_1"][0] == pytest.approx(6.0)
+    d_in = {k: np.zeros(1) for k in ins}
+    comp.compute_jacvec_product(ins, d_in, {"con_1": np.ones(1)}, "rev")
+    assert d_in["CL"][0] == pytest.approx(2.0)
+    assert d_in["CN"][0] == pytest.approx(-1.0)
