@@ -168,6 +168,22 @@ def H(m: FvMatrix, psi: jnp.ndarray, geom, topo) -> jnp.ndarray:
     return num / v
 
 
+def H1(m: FvMatrix, geom, topo) -> jnp.ndarray:
+    """OpenFOAM fvMatrix::H1 — negated off-diagonal row sums / volume
+    (volScalarField; scalar even for vector matrices). Used by SIMPLEC's
+    rAtU = 1/(1/rAU - H1) (reference DAResidualSimpleFoam.C
+    simple.consistent() branch). Boundary value-coefficients are folded
+    into diag/source in this storage and are not separable; omitting them
+    only changes the rAtU acceleration, never the converged solution."""
+    from dafoam_tpu.ops.core import scatter_add
+
+    ni = topo.n_internal
+    nc = m.diag.shape[0]
+    h = scatter_add(-m.upper, topo.owner[:ni], nc) \
+        + scatter_add(-m.lower, topo.neighbour, nc)
+    return h / geom.vol
+
+
 def relax(m: FvMatrix, psi: jnp.ndarray, alpha: float, topo) -> FvMatrix:
     """Under-relax the matrix (OpenFOAM fvMatrix::relax):
 

@@ -76,9 +76,10 @@ _DEFAULTS: dict[str, Any] = {
     "fvSource": {},
     "MRF": {"active": False},
     "regressionModel": {"active": False},
-    # ---- primal loop control (reference DASolver.C:156-316) -----------------
-    "primalFuncStdTol": 0.0,
-    "primalFuncStdWindow": 200,
+    # ---- primal loop control (reference DASolver.C:156-316; option dict
+    # shape matches pyDAFoam.py:91) -----------------------------------------
+    "primalFuncStdTol": {"stdTol": -1.0, "slopeTol": -1.0,
+                         "funcNames": [], "nStepsFrac": 0.2},
     "printInterval": 100,
     "printToScreen": False,
     # ---- mesh quality (reference DACheckMesh.H:61-70) -------------------------

@@ -218,15 +218,30 @@ class DASimpleFoam(DASolverBase):
         if self.p_needs_ref:
             phiHbyA = self._adjust_phi(phiHbyA, geom)
 
-        rAU_b = rAU[topo.owner[ni:]]
-        rAU_f = fvc.interpolate(geom, topo, rAU, rAU_b)
-        pM = fvm.laplacian(geom, topo, rAU_f, p, p_bco)
-        # pEqn: laplacian(rAU, p) == div(phiHbyA)
+        # SIMPLEC (reference simple.consistent() rAtU correction,
+        # DAResidualSimpleFoam.C): rAtU = 1/(1/rAU - H1);
+        # phiHbyA += interp(rAtU-rAU)*snGrad(p)*magSf; HbyA -= (rAU-rAtU)*grad(p)
+        if self.option["simple"]["consistent"]:
+            rAtU = 1.0 / (1.0 / rAU - fvx.H1(UEqn, geom, topo))
+            drA = rAtU - rAU
+            drA_f = fvc.interpolate(geom, topo, drA, drA[topo.owner[ni:]])
+            sng_b = bc.boundary_sngrad(p_bco, p, topo)
+            snp = fvc.snGrad(geom, topo, p, sng_b)
+            phiHbyA = phiHbyA + drA_f * snp * geom.magsf
+            gradp = fvc.grad(geom, topo, p, p_b)
+            HbyA = HbyA + drA[:, None] * gradp
+        else:
+            rAtU = rAU
+
+        rA_b = rAtU[topo.owner[ni:]]
+        rAtU_f = fvc.interpolate(geom, topo, rAtU, rA_b)
+        pM = fvm.laplacian(geom, topo, rAtU_f, p, p_bco)
+        # pEqn: laplacian(rAtU, p) == div(phiHbyA)
         div_phiHbyA = fvc.div_surface(geom, topo, phiHbyA) * geom.vol
         pM = pM.add_source(div_phiHbyA)
         if self.p_needs_ref:
             pM = fvx.set_reference(pM, 0, 0.0)
-        return rAU, rAU_f, HbyA, phiHbyA, pM, p_bco
+        return rAtU, rAtU_f, HbyA, phiHbyA, pM, p_bco
 
     def _adjust_phi(self, phiHbyA, geom):
         """Global mass-conservation fix for all-Neumann pressure (OpenFOAM
@@ -399,23 +414,120 @@ class DASimpleFoam(DASolverBase):
 
             return new_state, jnp.maximum(res_U, res_p)
 
+        # trailing-window function std/slope convergence (reference
+        # DASolver::loop + calcFuncStd/calcFuncSlope, DASolver.C:156-316)
+        fscfg = opt["primalFuncStdTol"]
+        std_tol = float(fscfg.get("stdTol", -1.0))
+        slope_tol = float(fscfg.get("slopeTol", -1.0))
+        if std_tol > 0 and slope_tol <= 0:
+            slope_tol = std_tol  # reference DASolver.C:105
+        func_names = [n for n in fscfg.get("funcNames", [])
+                      if n in opt["function"]]
+        track = std_tol > 0 and len(func_names) > 0
+        frac = float(fscfg.get("nStepsFrac", 0.2))
+        tol_diff = float(opt["primalMinResTolDiff"])
+        print_int = int(opt["printInterval"])
+        do_print = bool(opt.get("printToScreen", False))
+
+        if not track:
+            def cond(c):
+                st, it, res = c
+                keep = jnp.logical_or(it < min_it, res > tol)
+                keep = jnp.logical_and(keep, it < max_it)
+                return jnp.logical_and(keep, self.states_valid(st))
+
+            def body(c):
+                st, it, res = c
+                st2, res2 = one_iter(st)
+                if do_print:
+                    jax.lax.cond(
+                        (it + 1) % print_int == 0,
+                        lambda: jax.debug.print(
+                            "iter {i}: maxRes = {r:.6e}", i=it + 1, r=res2),
+                        lambda: None)
+                return st2, it + 1, res2
+
+            st, it, res = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(0),
+                             jnp.asarray(jnp.inf, self.dtype)))
+            ok = self.states_valid(st)
+            # checkPrimalFailure parity (reference DASolver.C:2721): fail
+            # when achieved residual misses primalMinResTol*TolDiff
+            failed = jnp.logical_not(ok)
+            if tol > 0:
+                failed = jnp.logical_or(failed, res > tol * tol_diff)
+            return st, PrimalInfo(it, res,
+                                  jnp.logical_and(res <= tol, ok), failed)
+
+        # tracked path: carry per-iteration function values
+        big = jnp.asarray(jnp.inf, self.dtype)
+
+        def window_stats(vals, it):
+            """relative std + |LS slope| over the trailing window
+            (DASolver.C:235-316 semantics, masked for jit)."""
+            n = vals.shape[0]
+            idx = jnp.arange(n)
+            li = it - 1
+            window = jnp.maximum(2, jnp.round(
+                frac * (li + 1.0)).astype(idx.dtype))
+            start = jnp.maximum(0, li - window + 1)
+            m = ((idx >= start) & (idx <= li)).astype(vals.dtype)
+            cnt = jnp.sum(m)
+            mean = jnp.sum(vals * m) / (cnt + 1e-16)
+            var = jnp.sum(m * (vals - mean) ** 2) / (cnt + 1e-16)
+            std = jnp.sqrt(var) / jnp.abs(mean + 1e-16)
+            x = (idx - start).astype(vals.dtype) * m
+            xmean = jnp.sum(x * m) / (cnt + 1e-16)
+            dx = (x - xmean) * m
+            sxy = jnp.sum(dx * (vals - mean) * m)
+            sxx = jnp.sum(dx * dx)
+            slope = (sxy / (sxx + 1e-16)) / jnp.abs(mean + 1e-16)
+            # fewer than 2 actual samples: std/slope are degenerate zeros;
+            # report inf so the exit test cannot fire spuriously
+            big_ = jnp.asarray(jnp.inf, vals.dtype)
+            std = jnp.where(cnt >= 2, std, big_)
+            slope = jnp.where(cnt >= 2, slope, big_)
+            return std, jnp.abs(slope)
+
         def cond(c):
-            st, it, res = c
-            keep = jnp.logical_or(it < min_it, res > tol)
+            st, it, res, fvals, fstd, fslope = c
+            func_conv = jnp.logical_and(fstd < std_tol, fslope < slope_tol)
+            conv = jnp.logical_or(res <= tol, func_conv)
+            keep = jnp.logical_or(it < min_it, jnp.logical_not(conv))
             keep = jnp.logical_and(keep, it < max_it)
             return jnp.logical_and(keep, self.states_valid(st))
 
         def body(c):
-            st, it, res = c
+            st, it, res, fvals, fstd, fslope = c
             st2, res2 = one_iter(st)
-            return st2, it + 1, res2
+            stds, slopes = [], []
+            for j, name in enumerate(func_names):
+                v = self.eval_function(name, st2, inputs)
+                fvals = fvals.at[j, it].set(v)
+                s, sl = window_stats(fvals[j], it + 1)
+                stds.append(s)
+                slopes.append(sl)
+            fstd2 = jnp.max(jnp.stack(stds))
+            fslope2 = jnp.max(jnp.stack(slopes))
+            if do_print:
+                jax.lax.cond(
+                    (it + 1) % print_int == 0,
+                    lambda: jax.debug.print(
+                        "iter {i}: maxRes={r:.6e} funcStd={s:.6e} "
+                        "funcSlope={sl:.6e}", i=it + 1, r=res2, s=fstd2,
+                        sl=fslope2),
+                    lambda: None)
+            return st2, it + 1, res2, fvals, fstd2, fslope2
 
-        st, it, res = jax.lax.while_loop(
+        fvals0 = jnp.zeros((len(func_names), int(max_it)), self.dtype)
+        st, it, res, fvals, fstd, fslope = jax.lax.while_loop(
             cond, body, (state, jnp.asarray(0),
-                         jnp.asarray(jnp.inf, self.dtype)))
+                         jnp.asarray(jnp.inf, self.dtype), fvals0, big, big))
         ok = self.states_valid(st)
-        return st, PrimalInfo(it, res, jnp.logical_and(res <= tol, ok),
-                              jnp.logical_not(ok))
+        func_conv = jnp.logical_and(fstd < std_tol, fslope < slope_tol)
+        conv = jnp.logical_and(jnp.logical_or(res <= tol, func_conv), ok)
+        # func-std mode never fails on residual (DASolver.C:2730-2735)
+        return st, PrimalInfo(it, res, conv, jnp.logical_not(ok))
 
     # ------------------------------------------------------------------
     # adjoint preconditioner: reuse the segregated operators

@@ -100,3 +100,64 @@ def test_cavity_adjoint_totals_vs_fd(converged):
     fd_ul = (runJ(ul=1.0 + eps) - runJ(ul=1.0 - eps)) / (2 * eps)
     assert dnu == pytest.approx(fd_nu, rel=1e-6)
     assert dlid == pytest.approx(fd_ul, rel=1e-6)
+
+
+def test_simplec_consistent_primal_and_adjoint():
+    """SIMPLEC (simple.consistent, reference DAResidualSimpleFoam.C rAtU
+    branch): converges with p relaxation 1.0 and keeps adjoint-FD parity."""
+    solver, inputs, topo = cavity()
+    solver.option.set("simple.consistent", True)
+    solver.option.set("relaxationFactors.fields.p", 1.0)
+    solver.option.set("relaxationFactors.equations.U", 0.9)
+    state, info = solver.run_primal(solver.init_state(), inputs)
+    assert bool(info.converged), (int(info.iters), float(info.max_res))
+    # residual-function consistency at the converged state
+    r = solver.residuals(state, inputs)
+    assert np.abs(np.asarray(r["U"])).max() < 1e-7
+    assert np.abs(np.asarray(r["phi"])).max() < 1e-11
+    psi, ai = solver.run_adjoint("lidForce", state, inputs)
+    tot = solver.run_totals("lidForce", state, inputs, psi)
+    dnu = float(tot["params"]["nu"])
+
+    def runJ(nu):
+        inp = jax.tree_util.tree_map(lambda x: x, inputs)
+        inp["params"]["nu"] = jnp.asarray(nu, solver.dtype)
+        st, _ = solver.run_primal(solver.init_state(), inp)
+        return float(solver.run_function("lidForce", st, inp))
+
+    eps = 1e-6
+    fd = (runJ(0.01 + eps) - runJ(0.01 - eps)) / (2 * eps)
+    assert dnu == pytest.approx(fd, rel=1e-5)
+
+
+def test_func_std_convergence_exit():
+    """Trailing-window function std/slope exit (reference DASolver::loop +
+    calcFuncStd/calcFuncSlope, DASolver.C:156-316): with an unreachable
+    residual tolerance the loop exits early once lidForce flattens."""
+    solver, inputs, topo = cavity()
+    solver.option.set("primalMinResTol", 1e-300)
+    solver.option.set("primalFuncStdTol",
+                      {"stdTol": 1e-7, "slopeTol": 1e-7,
+                       "funcNames": ["lidForce"], "nStepsFrac": 0.2})
+    state, info = solver.run_primal(solver.init_state(), inputs)
+    assert bool(info.converged)
+    assert not bool(info.failed)
+    # exited before primalMaxIters but not on a degenerate 1-sample window
+    assert 5 < int(info.iters) < 500
+
+
+def test_primal_min_res_tol_diff_failure():
+    """checkPrimalFailure parity (reference DASolver.C:2721): residual
+    misses tol*primalMinResTolDiff -> failed; within the slack -> not."""
+    solver, inputs, topo = cavity(maxiters=30)
+    solver.option.set("primalMinResTol", 1e-12)
+    solver.option.set("primalMinResTolDiff", 1.0)
+    state, info = solver.run_primal(solver.init_state(), inputs)
+    assert not bool(info.converged)
+    assert bool(info.failed)
+    # huge slack: same run is a non-failure
+    solver2, inputs2, _ = cavity(maxiters=30)
+    solver2.option.set("primalMinResTol", 1e-12)
+    solver2.option.set("primalMinResTolDiff", 1e30)
+    _, info2 = solver2.run_primal(solver2.init_state(), inputs2)
+    assert not bool(info2.failed)
