@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dafoam_tpu.linalg import fvsolve
 from dafoam_tpu.mesh.geometry import compute_geometry
@@ -46,8 +47,9 @@ class DARhoSimpleFoam(DASolverBase):
                                     surface_scalar=("phi",))
         super().__init__(opt, topo, points)
         geom0 = compute_geometry(self.points, topo)
-        self.wall_dist = jnp.asarray(compute_wall_distance(geom0, topo),
-                                     self.dtype)
+        self.wall_dist = jnp.asarray(
+            compute_wall_distance(geom0, topo,
+                                  points=np.asarray(points)), self.dtype)
         if turb_name in ("None", "laminar"):
             self.turb = make_turbulence_model(turb_name, topo, self.option,
                                               wall_dist=self.wall_dist)

@@ -58,7 +58,7 @@ class DASimpleFoam(DASolverBase):
 
         # frozen wall distance (meshWaveFrozen semantics)
         geom0 = compute_geometry(self.points, topo)
-        wd = compute_wall_distance(geom0, topo)
+        wd = compute_wall_distance(geom0, topo, points=np.asarray(points))
         self.wall_dist = jnp.asarray(wd, self.dtype)
         self.turb = make_turbulence_model(
             turb_name, topo, self.option, wall_dist=self.wall_dist,

@@ -76,3 +76,31 @@ def test_rcm_permutation_preserves_geometry():
     np.testing.assert_allclose(v2, v1[perm], rtol=1e-12)
     np.testing.assert_allclose(np.sort(np.asarray(g2.magsf)),
                                np.sort(np.asarray(g1.magsf)), rtol=1e-12)
+
+
+def test_wall_distance_exact_surface():
+    """Exact point-to-surface wall distance (not face-centre distance):
+    on a uniform box the distance to the ymin wall is the y coordinate of
+    the cell centre, even for cells offset along x (where the face-centre
+    metric overestimates)."""
+    import numpy as np
+    from dafoam_tpu.mesh import box_hex_mesh
+    from dafoam_tpu.mesh.geometry import compute_geometry
+    from dafoam_tpu.mesh.walldist import compute_wall_distance
+    import jax.numpy as jnp
+
+    # sheared mesh: cell centres are offset in x from the wall-face
+    # centres, so the face-centre metric overestimates d
+    pts, topo = box_hex_mesh(4, 8, 1, (2.0, 0.8, 0.1),
+                             kinds={"zmin": "empty", "zmax": "empty",
+                                    "ymin": "wall"})
+    pts = np.asarray(pts).copy()
+    pts[:, 0] += 0.2 * pts[:, 1]
+    geom = compute_geometry(jnp.asarray(pts, jnp.float64), topo)
+    d = compute_wall_distance(geom, topo, points=np.asarray(pts))
+    cc = np.asarray(geom.cc)
+    np.testing.assert_allclose(d, cc[:, 1], rtol=1e-12, atol=1e-12)
+    # legacy face-centre fallback overestimates for off-centre cells
+    d_legacy = compute_wall_distance(geom, topo)
+    assert (d_legacy >= d - 1e-12).all()
+    assert d_legacy.max() > d.max()  # strictly worse somewhere
