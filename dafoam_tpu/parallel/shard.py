@@ -43,13 +43,16 @@ def shard_case(mesh: Mesh, state: dict, inputs: dict, axis: str = "mesh",
     """Place a (state, inputs) pair on the device mesh: CELL-indexed leaves
     sharded on their leading axis, everything else replicated.
 
-    Policy note: only the cell axis is sharded. Empirically, feeding BOTH
-    cell-sharded and face-sharded inputs into one jitted program corrupts
-    results on the XLA:CPU SPMD path (bisected in tests/test_sharding.py:
-    each leaf alone is bit-exact, the combination is off by O(1)); XLA is
-    free to shard face-sized INTERMEDIATES internally, which stays exact.
-    The explicit shard_map + halo-exchange path is the planned
-    high-performance alternative.
+    Policy note: only the cell axis is sharded. ROOT CAUSE (bisected in
+    round 2): XLA:CPU's SPMD partitioner miscompiles the p-equation
+    assembly when a *computed* face-sized array (geom.magsf) is
+    partitioned on the face axis inside the full residual graph — every
+    sub-expression in isolation is bit-exact, an explicit replication
+    constraint on magsf fixes the full graph, and a face-shard constraint
+    reproduces err O(10). A partitioner/fusion interaction bug, not a
+    semantics error in our ops. The explicit shard_map + ppermute halo
+    path (parallel.halo.HaloMatvec) has no partitioner decisions at all
+    and is the high-performance multi-chip route for the Krylov matvecs.
     """
     n = mesh.devices.size
     shard = mesh_axis_sharding(mesh, axis)
