@@ -2,6 +2,7 @@ from dafoam_tpu.models.base import TurbulenceModel, Laminar
 from dafoam_tpu.models.spalart_allmaras import (SpalartAllmaras,
                                                  SpalartAllmarasFv3)
 from dafoam_tpu.models.komega_sst import KOmegaSST
+from dafoam_tpu.models.komega_sst_lm import KOmegaSSTLM
 from dafoam_tpu.models.ktwoeq import KEpsilon, KOmega
 
 _TURB_REGISTRY = {
@@ -10,6 +11,7 @@ _TURB_REGISTRY = {
     "SpalartAllmaras": SpalartAllmaras,
     "SpalartAllmarasFv3": SpalartAllmarasFv3,
     "kOmegaSST": KOmegaSST,
+    "kOmegaSSTLM": KOmegaSSTLM,
     "kEpsilon": KEpsilon,
     "kOmega": KOmega,
 }
