@@ -38,8 +38,20 @@ def unsteady_adjoint_totals(
         ddt_order: int = 1,
         state_scales=None, res_scales=None,
         restart=100, rel_tol=1e-8, abs_tol=1e-14, max_iters=1000,
-        precond_builder: Callable | None = None):
-    """Returns (totals w.r.t. inputs, per-step adjoint residual info)."""
+        precond_builder: Callable | None = None,
+        time_dep: bool = False):
+    """Returns (totals w.r.t. inputs, per-step adjoint residual info).
+
+    time_dep=True: the residual/function depend explicitly on the step
+    index (moving meshes — reference DAPimpleDyMFoam reads per-step mesh
+    points in its reverse sweep, pyDAFoam.py:1288 readDynamicMeshPoints);
+    signatures become residual_fn(W, W_old, W_oldold, inputs, n) and
+    func_fn(W, inputs, n)."""
+
+    if not time_dep:
+        rf, ff = residual_fn, func_fn
+        residual_fn = lambda W, Wo, Woo, x, n: rf(W, Wo, Woo, x)  # noqa
+        func_fn = lambda W, x, n: ff(W, x)                        # noqa
 
     T = jax.tree_util.tree_leaves(hist)[0].shape[0] - 1
     zeros_state = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a[0]), hist)
@@ -57,7 +69,7 @@ def unsteady_adjoint_totals(
         W2 = _at(hist, jnp.maximum(n - 2, 0))
 
         # RHS: function seed at step n
-        g = jax.grad(lambda w: func_fn(w, inputs))(W)
+        g = jax.grad(lambda w: func_fn(w, inputs, n))(W)
         wgt = weights[n - 1]
         rhs = jax.tree_util.tree_map(lambda x: wgt * x, g)
 
@@ -65,7 +77,7 @@ def unsteady_adjoint_totals(
         # through its OLD-time slot -> (dR^{n+1}/dW^n)^T psi^{n+1}
         Wp1 = _at(hist, jnp.minimum(n + 1, T))
         _, vjp_old = jax.vjp(
-            lambda wold: residual_fn(Wp1, wold, W1, inputs), W)
+            lambda wold: residual_fn(Wp1, wold, W1, inputs, n + 1), W)
         (c1,) = vjp_old(psi1)
         have1 = (n + 1 <= T).astype(weights.dtype)
         rhs = jax.tree_util.tree_map(lambda r, c: r - have1 * c, rhs, c1)
@@ -74,13 +86,13 @@ def unsteady_adjoint_totals(
             Wp2 = _at(hist, jnp.minimum(n + 2, T))
             Wp1b = _at(hist, jnp.minimum(n + 1, T))
             _, vjp_oo = jax.vjp(
-                lambda woo: residual_fn(Wp2, Wp1b, woo, inputs), W)
+                lambda woo: residual_fn(Wp2, Wp1b, woo, inputs, n + 2), W)
             (c2,) = vjp_oo(psi2)
             have2 = (n + 2 <= T).astype(weights.dtype)
             rhs = jax.tree_util.tree_map(lambda r, c: r - have2 * c, rhs, c2)
 
         # solve (dR^n/dW^n)^T psi = rhs (scaled like the steady adjoint)
-        _, f_vjp = jax.vjp(lambda w: residual_fn(w, W1, W2, inputs), W)
+        _, f_vjp = jax.vjp(lambda w: residual_fn(w, W1, W2, inputs, n), W)
 
         def matT(ps):
             p = _sc(ps, res_scales, invert=True)
@@ -94,9 +106,9 @@ def unsteady_adjoint_totals(
         psi = _sc(psi_s, res_scales, invert=True)
 
         # totals: w_n pF/px - (dR^n/dx)^T psi
-        _, fx_vjp = jax.vjp(lambda x: func_fn(W, x), inputs)
+        _, fx_vjp = jax.vjp(lambda x: func_fn(W, x, n), inputs)
         (dfdx,) = fx_vjp(jnp.asarray(1.0, weights.dtype))
-        _, rx_vjp = jax.vjp(lambda x: residual_fn(W, W1, W2, x), inputs)
+        _, rx_vjp = jax.vjp(lambda x: residual_fn(W, W1, W2, x, n), inputs)
         (drx,) = rx_vjp(psi)
         totals = jax.tree_util.tree_map(
             lambda t, a, b: t + wgt * a - b, totals, dfdx, drx)

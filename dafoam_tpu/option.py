@@ -69,6 +69,10 @@ _DEFAULTS: dict[str, Any] = {
     "ddtScheme": "steadyState",   # steadyState | Euler | backward
     "deltaT": 1.0,
     "endTime": 1.0,
+    # ---- dynamic mesh (DAPimpleDyMFoam) ------------------------------------
+    "dynamicMesh": {"active": False, "motionType": "translation",
+                    "amplitude": 0.0, "frequency": 1.0,
+                    "direction": [0.0, 1.0, 0.0], "movingPatches": []},
     # ---- objectives ----------------------------------------------------------
     "function": {},
     "inputInfo": {},

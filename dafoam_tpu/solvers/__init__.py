@@ -8,6 +8,7 @@ from dafoam_tpu.solvers.rho_simple import (DARhoSimpleFoam, DARhoSimpleCFoam,
                                             DATurboFoam)
 from dafoam_tpu.solvers.topo_cht import DATopoChtFoam
 from dafoam_tpu.solvers.rho_pimple import DARhoPimpleFoam
+from dafoam_tpu.solvers.pimple_dym import DAPimpleDyMFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -30,7 +31,8 @@ def make_solver(option, topo, points):
 
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
            DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
-           DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam, DARhoPimpleFoam):
+           DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam, DARhoPimpleFoam,
+           DAPimpleDyMFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",
