@@ -64,13 +64,23 @@ def _face_centres_areas(points: jnp.ndarray, topo: MeshTopology):
     t_c = (pts + nxt + c_est[:, None, :]) / 3.0
 
     sf = t_sf.sum(axis=1)
-    magsf_t = jnp.linalg.norm(t_sf, axis=-1)  # (nf, maxnv)
+    # DEGENERATE (zero-area) faces exist by design in the dense-DIA layout
+    # (topology.to_dia_dense padding): use the double-where safe norm so
+    # d|v|/dv is 0 (not NaN) at v = 0.
+    magsf_t = _safe_norm(t_sf)                # (nf, maxnv)
     sum_a = magsf_t.sum(axis=1)
     cf = (t_c * magsf_t[..., None]).sum(axis=1) / jnp.maximum(sum_a, 1e-300)[:, None]
     # degenerate (zero-area) faces fall back to the estimated centre
     cf = jnp.where(sum_a[:, None] > 1e-14, cf, c_est)
-    magsf = jnp.linalg.norm(sf, axis=-1)
+    magsf = _safe_norm(sf)
     return cf, sf, magsf
+
+
+def _safe_norm(v, axis=-1):
+    """|v| with zero (not NaN) gradient at v = 0."""
+    s2 = jnp.sum(v * v, axis=axis)
+    pos = s2 > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s2, 1.0)), 0.0)
 
 
 def _cell_centres_vols(cf, sf, topo: MeshTopology, dtype):

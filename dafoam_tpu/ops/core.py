@@ -58,13 +58,62 @@ def _one_sided_sum(vals_i, topo, own_w, nei_w):
     return _face_gather_sum(vals_i, topo, own_w, nei_w)
 
 
+# ---------------------------------------------------------------------------
+# Dense-DIA fast paths (topology.to_dia_dense): internal faces live in an
+# offset-major (K, nc) layout, so every cell<->face movement is a broadcast
+# or a STATIC SHIFT — zero arbitrary-index gathers. Measured ~10x faster
+# per fused assembly op on TPU v5e, where a gather inside a fused loop
+# scalarizes (~3 ms vs ~0.4 us for the same bytes at 65k cells).
+# ---------------------------------------------------------------------------
+
+def _dd(topo):
+    fn = getattr(topo, "dia_dense", None)
+    return fn() if fn is not None else None
+
+
+def _shape_kn(x, topo, K):
+    """(K*nc, ...) face array -> (K, nc, ...)"""
+    return x.reshape((K, topo.n_cells) + x.shape[1:])
+
+
+def _shift_fwd(x, o):
+    """y[c] = x[c + o] (zeros beyond the end); x (nc, ...)"""
+    nc = x.shape[0]
+    pad = [(0, o)] + [(0, 0)] * (x.ndim - 1)
+    return jax.lax.slice_in_dim(jnp.pad(x, pad), o, o + nc, axis=0)
+
+
+def _shift_bwd(x, o):
+    """y[c] = x[c - o] (zeros before the start)"""
+    nc = x.shape[0]
+    pad = [(o, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jax.lax.slice_in_dim(jnp.pad(x, pad), 0, nc, axis=0)
+
+
 def face_sum_signed(vals_i, topo):
     """y[c] = sum_{f: own=c} vals_i[f] - sum_{f: nei=c} vals_i[f].
 
     LINEAR op via linear_call: forward AND transpose (reverse-mode) are
-    explicit gather expressions, and forward-mode jvp works too (the
+    explicit gather/shift expressions, and forward-mode jvp works too (the
     reference needs three separate AD builds for this trio)."""
     ni = topo.n_internal
+    dd = _dd(topo)
+    if dd is not None:
+        offs, _ = dd
+        K = len(offs)
+
+        def f(_, x):
+            xk = _shape_kn(x, topo, K)
+            y = xk.sum(axis=0)
+            for i, o in enumerate(offs):
+                y = y - _shift_bwd(xk[i], o)
+            return y
+
+        def ft(_, ct):
+            return jnp.concatenate(
+                [ct - _shift_fwd(ct, o) for o in offs], axis=0)
+
+        return linear_call(f, ft, (), vals_i)
 
     def f(_, x):
         return _face_gather_sum(x, topo, 1.0, -1.0)
@@ -77,8 +126,29 @@ def face_sum_signed(vals_i, topo):
 
 def face_sum_pair(own_vals, nei_vals, topo):
     """y[c] = sum_{f: own=c} own_vals[f] + sum_{f: nei=c} nei_vals[f] —
-    the LDU diagonal-assembly reduction (linear, scatter-free both ways)."""
+    the LDU diagonal-assembly reduction (linear, scatter/gather-free both
+    ways)."""
     ni = topo.n_internal
+    dd = _dd(topo)
+    if dd is not None:
+        offs, _ = dd
+        K = len(offs)
+
+        def f(_, x):
+            ok = _shape_kn(x[0], topo, K)
+            nk = _shape_kn(x[1], topo, K)
+            y = ok.sum(axis=0)
+            for i, o in enumerate(offs):
+                y = y + _shift_bwd(nk[i], o)
+            return y
+
+        def ft(_, ct):
+            own_ct = jnp.concatenate([ct] * K, axis=0)
+            nei_ct = jnp.concatenate(
+                [_shift_fwd(ct, o) for o in offs], axis=0)
+            return (own_ct, nei_ct)
+
+        return linear_call(f, ft, (), (own_vals, nei_vals))
 
     def f(_, x):
         return _one_sided_sum(x[0], topo, 1.0, 0.0) \
@@ -92,8 +162,20 @@ def face_sum_pair(own_vals, nei_vals, topo):
 
 def cell_to_face_own(x, topo):
     """x[owner] on internal faces, with a scatter-free transpose (the
-    transpose of a cell->face broadcast is a face->cell ELL sum)."""
+    transpose of a cell->face broadcast is a face->cell sum)."""
     ni = topo.n_internal
+    dd = _dd(topo)
+    if dd is not None:
+        offs, _ = dd
+        K = len(offs)
+
+        def f(_, v):
+            return jnp.concatenate([v] * K, axis=0)
+
+        def ft(_, ct):
+            return _shape_kn(ct, topo, K).sum(axis=0)
+
+        return linear_call(f, ft, (), x)
 
     def f(_, v):
         return v[topo.owner[:ni]]
@@ -105,6 +187,24 @@ def cell_to_face_own(x, topo):
 
 
 def cell_to_face_nei(x, topo):
+    dd = _dd(topo)
+    if dd is not None:
+        offs, _ = dd
+        K = len(offs)
+
+        def f(_, v):
+            return jnp.concatenate(
+                [_shift_fwd(v, o) for o in offs], axis=0)
+
+        def ft(_, ct):
+            ck = _shape_kn(ct, topo, K)
+            y = jnp.zeros((topo.n_cells,) + ct.shape[1:], ct.dtype)
+            for i, o in enumerate(offs):
+                y = y + _shift_bwd(ck[i], o)
+            return y
+
+        return linear_call(f, ft, (), x)
+
     def f(_, v):
         return v[topo.neighbour]
 

@@ -59,12 +59,20 @@ def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
                 from dafoam_tpu.ops.bc import boundary_value
                 psi_b = boundary_value(bcoef, psi, topo)
                 grad_psi = fvc.grad(geom, topo, psi, psi_b)
-            up = jnp.where((phi_i >= 0.0), own, nei)
-            d = geom.cf[:ni] - geom.cc[up]               # (ni,3)
+            from dafoam_tpu.ops.core import (cell_to_face_nei,
+                                             cell_to_face_own)
+            pos = (phi_i >= 0.0)
+            cc_up = jnp.where(pos[:, None], cell_to_face_own(geom.cc, topo),
+                              cell_to_face_nei(geom.cc, topo))
+            g_up = jnp.where(
+                pos.reshape((-1,) + (1,) * (grad_psi.ndim - 1)),
+                cell_to_face_own(grad_psi, topo),
+                cell_to_face_nei(grad_psi, topo))
+            d = geom.cf[:ni] - cc_up                     # (ni,3)
             if psi.ndim == 2:
-                dpsi = jnp.einsum("fi,fij->fj", d, grad_psi[up])
+                dpsi = jnp.einsum("fi,fij->fj", d, g_up)
             else:
-                dpsi = jnp.einsum("fi,fi->f", d, grad_psi[up])
+                dpsi = jnp.einsum("fi,fi->f", d, g_up)
             lu_corr = _rank_r(phi_i, psi) * dpsi         # explicit face flux
     elif scheme == "linear":
         w = geom.weights[:ni]
@@ -160,9 +168,11 @@ def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
                 grad_psi_b = grad_psi[topo.owner[ni:]]
         elif grad_psi_b is None:
             grad_psi_b = grad_psi[topo.owner[ni:]]
+        from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
         gf = fvc.interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]
         corr = jnp.einsum("fi,fi...->f...", geom.corr_vec[:ni], gf)
-        orth = _rank_r(dc, psi) * (psi[nei] - psi[own])
+        orth = _rank_r(dc, psi) * (cell_to_face_nei(psi, topo)
+                                   - cell_to_face_own(psi, topo))
         corr = _limit_correction(corr, orth, limit, psi)
         cflux = _rank_r(gamma_f[:ni] * geom.magsf[:ni], psi) * corr
         # add to owner, subtract from neighbour; goes to SOURCE with minus
@@ -185,10 +195,12 @@ def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
     ni = topo.n_internal
     own = topo.owner[:ni]
     nei = topo.neighbour
+    from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
     dc = geom.nonorth_dc[:ni] if corrected else geom.delta_coeffs[:ni]
     coef = gamma_f[:ni] * geom.magsf[:ni] * dc
-    orth = dc * (psi[nei] - psi[own])
-    fl_i = coef * (psi[nei] - psi[own])
+    dpsi = cell_to_face_nei(psi, topo) - cell_to_face_own(psi, topo)
+    orth = dc * dpsi
+    fl_i = coef * dpsi
     if corrected:
         if grad_psi is None:
             from dafoam_tpu.ops.bc import boundary_value
@@ -216,9 +228,9 @@ def div_flux(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind"):
         w = (phi_i >= 0.0).astype(psi.dtype)
     else:
         w = geom.weights[:ni]
-    own = topo.owner[:ni]
-    nei = topo.neighbour
-    fl_i = phi_i * (w * psi[own] + (1.0 - w) * psi[nei])
+    from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
+    fl_i = phi_i * (w * cell_to_face_own(psi, topo)
+                    + (1.0 - w) * cell_to_face_nei(psi, topo))
     own_b = topo.owner[ni:]
     fl_b = phi_f[ni:] * bcoef.active * (bcoef.vc * psi[own_b] + bcoef.vb)
     return jnp.concatenate([fl_i, fl_b])

@@ -115,10 +115,26 @@ def matvec_fn(m: FvMatrix, topo):
     if dia is None:
         return lambda x: matvec(m, x, topo)
     offsets, face_idx, kind = dia
-    kindj = jnp.asarray(kind)
-    coef = jnp.where(kindj == 1, m.upper[face_idx],
-                     jnp.where(kindj == 2, m.lower[face_idx], 0.0))
     nc = topo.n_cells
+    dd = getattr(topo, "dia_dense", lambda: None)()
+    if dd is not None:
+        # dense layout: the coefficient "gather" is a reshape + shifts
+        from dafoam_tpu.ops.core import _shift_bwd
+        offs_d, _ = dd
+        up_k = m.upper.reshape(len(offs_d), nc)
+        lo_k = m.lower.reshape(len(offs_d), nc)
+        pos = {int(o): i for i, o in enumerate(offs_d)}
+        rows = []
+        for o in offsets.tolist():
+            if o > 0:
+                rows.append(up_k[pos[o]])
+            else:
+                rows.append(_shift_bwd(lo_k[pos[-o]], -o))
+        coef = jnp.stack(rows)
+    else:
+        kindj = jnp.asarray(kind)
+        coef = jnp.where(kindj == 1, m.upper[face_idx],
+                         jnp.where(kindj == 2, m.lower[face_idx], 0.0))
     # pad so every shift is a static slice
     lo = int(max(0, -offsets.min())) if offsets.size else 0
     hi = int(max(0, offsets.max())) if offsets.size else 0
@@ -175,13 +191,9 @@ def H1(m: FvMatrix, geom, topo) -> jnp.ndarray:
     simple.consistent() branch). Boundary value-coefficients are folded
     into diag/source in this storage and are not separable; omitting them
     only changes the rAtU acceleration, never the converged solution."""
-    from dafoam_tpu.ops.core import scatter_add
+    from dafoam_tpu.ops.core import face_sum_pair
 
-    ni = topo.n_internal
-    nc = m.diag.shape[0]
-    h = scatter_add(-m.upper, topo.owner[:ni], nc) \
-        + scatter_add(-m.lower, topo.neighbour, nc)
-    return h / geom.vol
+    return face_sum_pair(-m.upper, -m.lower, topo) / geom.vol
 
 
 def relax(m: FvMatrix, psi: jnp.ndarray, alpha: float, topo) -> FvMatrix:

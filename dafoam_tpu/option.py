@@ -99,6 +99,11 @@ _DEFAULTS: dict[str, Any] = {
     # ---- parallel -----------------------------------------------------------
     "decomposeParDict": {"method": "scotch", "nProcessors": 1},
     "wallDistanceMethod": "meshWaveFrozen",
+    # internal-face layout: "auto" = dense offset-major DIA on TPU (all
+    # cell<->face movement becomes shifts; ~10x per assembly op),
+    # canonical owner-sorted order elsewhere; "diaDense" forces it,
+    # "canonical" disables it.
+    "meshFaceLayout": "auto",
     # ---- misc -----------------------------------------------------------
     "dtype": "auto",  # auto: f64 if x64 enabled, else f32
     "seed": 0,

@@ -26,6 +26,20 @@ def make_solver(option, topo, points):
     name = opt["solverName"]
     if name not in _SOLVER_REGISTRY:
         raise KeyError(f"unknown solver {name!r}; have {list(_SOLVER_REGISTRY)}")
+    layout = opt.get("meshFaceLayout", "auto")
+    if layout != "canonical" and topo.dia_dense() is None:
+        import jax
+
+        if layout == "diaDense" or (layout == "auto"
+                                    and jax.default_backend() == "tpu"):
+            from dafoam_tpu.mesh.topology import to_dia_dense
+
+            dense = to_dia_dense(topo)
+            if dense is not None:
+                topo = dense
+            elif layout == "diaDense":
+                raise ValueError("mesh is not banded; diaDense layout "
+                                 "unavailable (use meshFaceLayout=canonical)")
     return _SOLVER_REGISTRY[name](opt, topo, points)
 
 

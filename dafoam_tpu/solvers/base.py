@@ -111,7 +111,10 @@ class DASolverBase:
             rname = k + "Res"
             if k == "phi":
                 if "phiRes" in listed:
-                    out[k] = v / jnp.maximum(geom.magsf, 1e-300)
+                    # neutral scale on degenerate (zero-area) padded faces
+                    # of the dense-DIA layout: their R_phi row is -phi
+                    # (identity), already O(1)
+                    out[k] = v / jnp.where(geom.magsf > 0.0, geom.magsf, 1.0)
                 else:
                     out[k] = v
             elif rname in listed:
@@ -127,7 +130,10 @@ class DASolverBase:
         for name, _k in self.state_info.ordered:
             s = ns.get(name, 1.0)
             if name == "phi":
-                out[name] = s * geom.magsf
+                # degenerate (zero-area) padded faces of the dense-DIA
+                # layout get a neutral scale of 1 (their R_phi row is the
+                # identity -phi, already O(1))
+                out[name] = s * jnp.where(geom.magsf > 0.0, geom.magsf, 1.0)
             else:
                 out[name] = jnp.asarray(s, self.dtype)
         return out
