@@ -137,7 +137,8 @@ class SpalartAllmaras(TurbulenceModel):
         from dafoam_tpu.ops import fvm as _fvm
         M = self._assemble(state, inputs, geom, phi, gradU)
         if dt is not None:
-            M = M + _fvm.ddt(geom, self.topo, state["nuTilda"], old, dt)
+            M = M + _fvm.ddt(geom, self.topo, state["nuTilda"],
+                             old["nuTilda"], dt)
         M = fvx.relax(M, state["nuTilda"], relax, self.topo)
         sol, _ = fvsolve.solve(M, state["nuTilda"], self.topo,
                                symmetric=False, rel_tol=rel_tol,

@@ -191,7 +191,7 @@ class DAPimpleDyMFoam(DAPimpleFoam):
                                        rel_tol=lin["turbRelTol"],
                                        max_iters=lin["turbMaxIters"],
                                        relax=1.0, dt=self.dt,
-                                       old=state_old["nuTilda"])
+                                       old=state_old)
             return st
 
         return jax.lax.fori_loop(0, self.n_outer, outer, state_old)

@@ -84,3 +84,70 @@ def test_unsteady_adjoint_vs_fd(case):
     eps = 1e-6
     fd = (runJ(0.01 + eps) - runJ(0.01 - eps)) / (2 * eps)
     assert dnu == pytest.approx(fd, rel=2e-5), (dnu, fd)
+
+
+def test_unsteady_adjoint_with_amortized_pc(case):
+    """Segregated PC + PCMatUpdateInterval amortization (reference
+    PCMatPrecomputeInterval, mphys_dafoam.py:1443-1485): same totals as
+    the unpreconditioned sweep."""
+    solver, inputs, stT, hist, hist_fn = case
+    tot0, _ = solver.solve_unsteady_adjoint(hist, inputs, "lidF")
+    solver.option.set("adjEqnOption.pcType", "segregated")
+    solver.option.set("unsteadyAdjoint.PCMatUpdateInterval", 2)
+    try:
+        tot1, resids = solver.solve_unsteady_adjoint(hist, inputs, "lidF")
+    finally:
+        solver.option.set("adjEqnOption.pcType", "none")
+        solver.option.set("unsteadyAdjoint.PCMatUpdateInterval", 1)
+    assert np.asarray(resids).max() < 1e-10
+    assert float(tot1["params"]["nu"]) == pytest.approx(
+        float(tot0["params"]["nu"]), rel=1e-8)
+
+
+def test_unsteady_adjoint_checkpointed_matches_inmemory(case):
+    """Checkpoint/recompute reverse sweep (memory O(seg_len + T/seg_len))
+    reproduces the in-memory totals."""
+    solver, inputs, stT, hist, hist_fn = case
+    tot0, _ = solver.solve_unsteady_adjoint(hist, inputs, "lidF")
+    tot1, resids, J = solver.solve_unsteady_adjoint_checkpointed(
+        solver.init_state(), inputs, "lidF", seg_len=1)
+    assert float(tot1["params"]["nu"]) == pytest.approx(
+        float(tot0["params"]["nu"]), rel=1e-9)
+    # lid BC totals too
+    np.testing.assert_allclose(np.asarray(tot1["bc"]["U"]["ymax"]),
+                               np.asarray(tot0["bc"]["U"]["ymax"]),
+                               rtol=1e-9, atol=1e-11)
+    # a coarser segmentation gives the same result
+    tot5, _, _ = solver.solve_unsteady_adjoint_checkpointed(
+        solver.init_state(), inputs, "lidF", seg_len=5)
+    assert float(tot5["params"]["nu"]) == pytest.approx(
+        float(tot0["params"]["nu"]), rel=1e-9)
+
+
+def test_bdf2_unsteady_adjoint_vs_fd():
+    """ddtScheme backward (BDF2) with the Euler bootstrap: adjoint incl.
+    the dR/dW_oldold cross terms vs FD (reference ddtSchemeOrder=2,
+    calcdRdWOldTPsiAD(2, ...), DASolver.C:1910)."""
+    solver, inputs = cavity_unsteady()
+    solver.option.set("ddtScheme", "backward")
+    solver = type(solver)(solver.option, solver.topo,
+                          np.asarray(solver.points))
+    assert solver.ddt_order == 2
+    inputs = solver.make_inputs()
+    hist_fn = jax.jit(solver.solve_primal_history)
+    stT, hist = hist_fn(solver.init_state(), inputs)
+    assert bool(solver.states_valid(stT))
+    tot, resids = solver.solve_unsteady_adjoint(hist, inputs, "lidF")
+    assert np.asarray(resids).max() < 1e-10
+    dnu = float(tot["params"]["nu"])
+
+    def runJ(nu):
+        inp = jax.tree_util.tree_map(lambda x: x, inputs)
+        inp["params"]["nu"] = jnp.asarray(nu, solver.dtype)
+        _, h = hist_fn(solver.init_state(), inp)
+        J, _ = solver.eval_function_history("lidF", h, inp)
+        return float(J)
+
+    eps = 1e-6
+    fd = (runJ(0.01 + eps) - runJ(0.01 - eps)) / (2 * eps)
+    assert dnu == pytest.approx(fd, rel=1e-6), (dnu, fd)
