@@ -110,3 +110,29 @@ def average_to_faces(geom, topo, psi, psi_b):
 
 def cell_sum(geom, vals):
     return jnp.sum(vals * geom.vol)
+
+
+def reconstruct(geom, topo, F_face):
+    """OpenFOAM fvc::reconstruct: cell vector field from face fluxes.
+
+    r_c = [sum_f (Sf Sf^T)/|Sf|]^-1  sum_f (Sf/|Sf|) F_f
+    (used by interFoam's buoyancy/pressure force reconstruction,
+    reference DAInterFoam/UEqnInter.H:13 / pEqnInter.H:64). Degenerate
+    (zero-area) dense-layout faces contribute nothing.
+    """
+    from dafoam_tpu.ops.core import scatter_add, face_sum_pair
+    ni = topo.n_internal
+    msf = jnp.where(geom.magsf > 0.0, geom.magsf, 1.0)
+    sf_n = geom.sf / msf[:, None]
+    # G = sum_f Sf (x) Sf/|Sf| : (nc, 3, 3), both owner and neighbour rows
+    outer = jnp.einsum("fi,fj->fij", geom.sf, sf_n)
+    Gi = face_sum_pair(outer[:ni].reshape(ni, 9),
+                       outer[:ni].reshape(ni, 9), topo).reshape(-1, 3, 3)
+    G = Gi + scatter_add(outer[ni:].reshape(-1, 9), topo.owner[ni:],
+                         topo.n_cells).reshape(-1, 3, 3)
+    rhs_f = sf_n * F_face[:, None]
+    ri = face_sum_pair(rhs_f[:ni], rhs_f[:ni], topo)
+    r = ri + scatter_add(rhs_f[ni:], topo.owner[ni:], topo.n_cells)
+    # regularize to keep 3x3 invertible on 2-D (empty-direction) meshes
+    G = G + 1e-30 * jnp.eye(3, dtype=F_face.dtype)
+    return jnp.linalg.solve(G, r[..., None])[..., 0]

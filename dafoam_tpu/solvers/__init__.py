@@ -9,6 +9,7 @@ from dafoam_tpu.solvers.rho_simple import (DARhoSimpleFoam, DARhoSimpleCFoam,
 from dafoam_tpu.solvers.topo_cht import DATopoChtFoam
 from dafoam_tpu.solvers.rho_pimple import DARhoPimpleFoam
 from dafoam_tpu.solvers.pimple_dym import DAPimpleDyMFoam
+from dafoam_tpu.solvers.inter import DAInterFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -46,7 +47,7 @@ def make_solver(option, topo, points):
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
            DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
            DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam, DARhoPimpleFoam,
-           DAPimpleDyMFoam):
+           DAPimpleDyMFoam, DAInterFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",
