@@ -29,7 +29,7 @@ REF_CELL_ITERS_PER_SEC = 3.2e6
 
 def run_naca(nw, nr, iters):
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401 (health checks)
 
     from dafoam_tpu.mesh.airfoil import omesh_naca0012
     from dafoam_tpu.solvers import make_solver
@@ -78,6 +78,15 @@ def run_naca(nw, nr, iters):
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
     t_primal = time.perf_counter() - t0
+    # a failed primal (NaN/blow-up gate tripped) is a FAILED bench: the
+    # while_loop exits immediately and the timing would be meaningless
+    if bool(info.failed) or int(info.iters) < iters:
+        raise RuntimeError(
+            f"primal failed/exited early: iters={int(info.iters)}/{iters} "
+            f"max_res={float(info.max_res):.3e} failed={bool(info.failed)}")
+    cd = solver.run_function("CD", st, inputs)
+    if not bool(jnp.isfinite(cd)):
+        raise RuntimeError("non-finite objective after primal")
 
     # compile + run adjoint (fixed budget)
     psi, ai = solver.run_adjoint("CD", st, inputs)
@@ -86,6 +95,8 @@ def run_naca(nw, nr, iters):
     psi, ai = solver.run_adjoint("CD", st, inputs)
     jax.block_until_ready(psi["p"])
     t_adj = time.perf_counter() - t0
+    if not all(bool(jnp.all(jnp.isfinite(v))) for v in psi.values()):
+        raise RuntimeError("non-finite adjoint solution")
 
     cell_iters = topo.n_cells * iters / (t_primal + t_adj)
     return {
@@ -97,6 +108,8 @@ def run_naca(nw, nr, iters):
         "vs_baseline": round(cell_iters / REF_CELL_ITERS_PER_SEC, 4),
         "primal_s": round(t_primal, 3),
         "adjoint_s": round(t_adj, 3),
+        "CD": round(float(cd), 6),
+        "adj_res": float(ai.resid),
     }
 
 

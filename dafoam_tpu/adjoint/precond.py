@@ -36,7 +36,8 @@ def _solve_T(m: FvMatrix, r, topo, vol, symmetric=False, iters=15):
     """Approximately solve (M/V)^T x = r:  M^T z = r, x = V z."""
     mt = transpose(m)
     d = mt.diag if mt.diag.ndim == r.ndim else mt.diag[..., None]
-    dinv = 1.0 / jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
+    td = jnp.finfo(d.dtype).tiny
+    dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
     mv = matvec_fn(mt, topo)

@@ -51,7 +51,7 @@ def f_patch_mean(cfg, ctx):
     v = _bface_field(ctx, cfg["varName"])
     if v.ndim == 2:
         v = v[:, cfg.get("component", 0)]
-    return jnp.sum(w * v) / jnp.maximum(jnp.sum(w), 1e-300)
+    return jnp.sum(w * v) / jnp.maximum(jnp.sum(w), 1e-36)
 
 
 def f_variable_vol_sum(cfg, ctx):
@@ -92,7 +92,7 @@ def f_total_pressure(cfg, ctx):
     rho = ctx.get("rho_ref", 1.0)
     p0 = rho * (p_b + 0.5 * jnp.sum(U_b * U_b, axis=-1))
     w = jnp.abs(ctx["phi"][topo.n_internal:]) * mask
-    return jnp.sum(w * p0) / jnp.maximum(jnp.sum(w), 1e-300)
+    return jnp.sum(w * p0) / jnp.maximum(jnp.sum(w), 1e-36)
 
 
 def _wall_force(cfg, ctx):
@@ -198,7 +198,7 @@ def f_wall_heat_flux(cfg, ctx):
     q = ctx["wall_heat_flux_b"]
     if cfg.get("byUnitArea", 1):
         area = jnp.sum(geom.magsf[ni:] * mask)
-        return jnp.sum(q * geom.magsf[ni:] * mask) / jnp.maximum(area, 1e-300)
+        return jnp.sum(q * geom.magsf[ni:] * mask) / jnp.maximum(area, 1e-36)
     return jnp.sum(q * geom.magsf[ni:] * mask)
 
 
@@ -218,10 +218,10 @@ def f_mesh_quality_ks(cfg, ctx):
     ni = topo.n_internal
     own = topo.owner[:ni]
     d = geom.cc[topo.neighbour] - geom.cc[own]
-    nhat = geom.sf[:ni] / jnp.maximum(geom.magsf[:ni], 1e-300)[:, None]
+    nhat = geom.sf[:ni] / jnp.maximum(geom.magsf[:ni], 1e-36)[:, None]
     cosang = jnp.einsum("fi,fi->f", nhat, d) \
-        / jnp.maximum(jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-300)),
-                      1e-300)
+        / jnp.maximum(jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-36)),
+                      1e-36)
     metric = jnp.rad2deg(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
     rho = cfg.get("coeffKS", 0.1)
     m = jnp.max(metric)
@@ -239,16 +239,16 @@ def f_total_pressure_ratio(cfg, ctx):
     U_b = _bface_field(ctx, "U")
     R = cfg.get("R", 287.0)
     c2 = gam * R * T_b
-    M2 = jnp.sum(U_b * U_b, -1) / jnp.maximum(c2, 1e-300)
+    M2 = jnp.sum(U_b * U_b, -1) / jnp.maximum(c2, 1e-36)
     p0 = p_b * (1.0 + 0.5 * (gam - 1.0) * M2) ** (gam / (gam - 1.0))
 
     def avg(patches):
         mask = jnp.asarray(_patch_mask(topo, patches), p_b.dtype)
         w = jnp.abs(ctx["phi"][topo.n_internal:]) * mask
-        return jnp.sum(w * p0) / jnp.maximum(jnp.sum(w), 1e-300)
+        return jnp.sum(w * p0) / jnp.maximum(jnp.sum(w), 1e-36)
 
     return avg(cfg["outletPatches"]) / jnp.maximum(avg(cfg["inletPatches"]),
-                                                   1e-300)
+                                                   1e-36)
 
 
 def f_total_temperature_ratio(cfg, ctx):
@@ -259,16 +259,16 @@ def f_total_temperature_ratio(cfg, ctx):
     T_b = _bface_field(ctx, "T")
     U_b = _bface_field(ctx, "U")
     R = cfg.get("R", 287.0)
-    M2 = jnp.sum(U_b * U_b, -1) / jnp.maximum(gam * R * T_b, 1e-300)
+    M2 = jnp.sum(U_b * U_b, -1) / jnp.maximum(gam * R * T_b, 1e-36)
     T0 = T_b * (1.0 + 0.5 * (gam - 1.0) * M2)
 
     def avg(patches):
         mask = jnp.asarray(_patch_mask(topo, patches), T_b.dtype)
         w = jnp.abs(ctx["phi"][topo.n_internal:]) * mask
-        return jnp.sum(w * T0) / jnp.maximum(jnp.sum(w), 1e-300)
+        return jnp.sum(w * T0) / jnp.maximum(jnp.sum(w), 1e-36)
 
     return avg(cfg["outletPatches"]) / jnp.maximum(avg(cfg["inletPatches"]),
-                                                   1e-300)
+                                                   1e-36)
 
 
 def f_location(cfg, ctx):
@@ -279,13 +279,13 @@ def f_location(cfg, ctx):
     v = ctx["state"].get(cfg["varName"],
                          ctx.get("aux", {}).get(cfg["varName"]))
     if v is not None and v.ndim == 2:
-        v = jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1), 1e-300))
+        v = jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1), 1e-36))
     mode = cfg.get("mode", "maxRadius")
     axis = jnp.asarray(cfg.get("axis", [0.0, 0.0, 1.0]), geom.cc.dtype)
     center = jnp.asarray(cfg.get("center", [0.0, 0.0, 0.0]), geom.cc.dtype)
     d = geom.cc - center
     z = d @ axis
-    r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1) - z ** 2, 1e-300))
+    r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1) - z ** 2, 1e-36))
     rho_ks = cfg.get("coeffKS", 20.0)
     w = jax.nn.softmax(rho_ks * v)
     if mode == "maxRadius":

@@ -26,7 +26,8 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
     """Solve M x = source (+rhs) starting from psi0. Returns (x, SolveInfo)."""
     b = m.source if rhs is None else m.source + rhs
     d = _diag_like(m, psi0)
-    dinv = 1.0 / jnp.where(jnp.abs(d) > 1e-300, d, 1.0)
+    td = jnp.finfo(d.dtype).tiny
+    dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
     mv = matvec_fn(m, topo)
@@ -47,4 +48,4 @@ def initial_residual_norm(m: FvMatrix, psi, topo, rhs=None):
     xbar = jnp.mean(psi, axis=0, keepdims=True)
     axbar = matvec(m, jnp.broadcast_to(xbar, psi.shape), topo)
     norm = jnp.sum(jnp.abs(ax - axbar)) + jnp.sum(jnp.abs(b - axbar))
-    return jnp.sum(jnp.abs(b - ax)) / jnp.maximum(norm, 1e-300)
+    return jnp.sum(jnp.abs(b - ax)) / jnp.maximum(norm, jnp.finfo(norm.dtype).tiny)

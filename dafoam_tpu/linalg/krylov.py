@@ -62,6 +62,13 @@ def tzeros_like(x):
     return _tmap(jnp.zeros_like, x)
 
 
+def _tiny(x):
+    """Smallest normal of x's dtype: breakdown guards must scale with the
+    working precision (1e-300 flushes to 0 in f32; a fixed 1e-36 clamps
+    legitimately tiny f64 dot products 250 orders of magnitude too high)."""
+    return jnp.finfo(jnp.asarray(x).dtype).tiny
+
+
 def _identity(x):
     return x
 
@@ -92,12 +99,13 @@ def cg(matvec: Callable, b, x0=None, precond: Callable | None = None,
         # NEGATIVE definite (OpenFOAM convention) and CG is invariant under
         # simultaneous negation — as long as we never clamp signs away.
         pap = tdot(p, ap)
-        alpha = rz / jnp.where(jnp.abs(pap) > 1e-300, pap, 1e-300)
+        tp = _tiny(pap)
+        alpha = rz / jnp.where(jnp.abs(pap) > tp, pap, tp)
         x = taxpy(alpha, p, x)
         r = taxpy(-alpha, ap, r)
         z = precond(r)
         rz_new = tdot(r, z)
-        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-300, rz, 1e-300)
+        beta = rz_new / jnp.where(jnp.abs(rz) > tp, rz, tp)
         p = taxpy(beta, p, z)
         return x, r, z, p, rz_new, it + 1
 
@@ -143,14 +151,15 @@ def bicgstab(matvec: Callable, b, x0=None, precond: Callable | None = None,
         rho_new = tdot(rhat, r)
         rn2 = tdot(r, r)
         # serious breakdown: rhat nearly orthogonal to r -> restart
-        breakdown = jnp.abs(rho_new) < 1e-12 * jnp.maximum(rn2, 1e-300)
+        tb = _tiny(rn2)
+        breakdown = jnp.abs(rho_new) < 1e-12 * jnp.maximum(rn2, tb)
         restart = jnp.logical_or(fresh, breakdown)
         rhat = jax.lax.cond(restart, lambda _: r, lambda _: rhat, None)
         rho_new = jnp.where(restart, rn2, rho_new)
         beta = jnp.where(
             restart, 0.0,
-            (rho_new / jnp.where(jnp.abs(rho) > 1e-300, rho, 1e-300))
-            * (alpha / jnp.where(jnp.abs(omega) > 1e-300, omega, 1e-300)))
+            (rho_new / jnp.where(jnp.abs(rho) > tb, rho, tb))
+            * (alpha / jnp.where(jnp.abs(omega) > tb, omega, tb)))
         p = jax.lax.cond(
             restart,
             lambda _: r,
@@ -160,12 +169,12 @@ def bicgstab(matvec: Callable, b, x0=None, precond: Callable | None = None,
         phat = precond(p)
         v = matvec(phat)
         rv = tdot(rhat, v)
-        alpha = rho_new / jnp.where(jnp.abs(rv) > 1e-300, rv, 1e-300)
+        alpha = rho_new / jnp.where(jnp.abs(rv) > tb, rv, tb)
         s_vec = taxpy(-alpha, v, r)
         shat = precond(s_vec)
         t = matvec(shat)
         tt = tdot(t, t)
-        omega = tdot(t, s_vec) / jnp.where(tt > 1e-300, tt, 1e-300)
+        omega = tdot(t, s_vec) / jnp.where(tt > tb, tt, tb)
         x_new = _tmap(lambda xi, ph, sh: xi + alpha * ph + omega * sh,
                       x, phat, shat)
         r_new = taxpy(-omega, t, s_vec)
@@ -237,7 +246,7 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
         cs = jnp.zeros((m,), dtype=dtype)
         sn = jnp.zeros((m,), dtype=dtype)
         g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
-        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        V = V.at[0].set(r / jnp.maximum(beta, _tiny(beta)))
 
         def body(j, carry):
             done = carry[-1]
@@ -260,7 +269,7 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
             hj1 = jnp.linalg.norm(w)
             H = H.at[:, j].set(h)
             H = H.at[j + 1, j].set(hj1)
-            V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, _tiny(hj1)))
 
             # apply accumulated Givens rotations to column j
             def rot(i, col):
@@ -269,8 +278,8 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
                 return col.at[i].set(t0).at[i + 1].set(t1)
             col = jax.lax.fori_loop(0, j, rot, H[:, j])
             denom = jnp.sqrt(col[j] ** 2 + hj1 ** 2)
-            c_new = col[j] / jnp.maximum(denom, 1e-300)
-            s_new = hj1 / jnp.maximum(denom, 1e-300)
+            c_new = col[j] / jnp.maximum(denom, _tiny(denom))
+            s_new = hj1 / jnp.maximum(denom, _tiny(denom))
             cs = cs.at[j].set(c_new)
             sn = sn.at[j].set(s_new)
             col = col.at[j].set(denom).at[j + 1].set(0.0)

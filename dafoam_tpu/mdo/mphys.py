@@ -385,7 +385,7 @@ class DAFoamFunctions(om.ExplicitComponent):
             if f_name not in d_outputs:
                 continue
             seed = float(np.asarray(d_outputs[f_name]).ravel()[0])
-            if abs(seed) < 1e-300:
+            if abs(seed) < 1e-36:
                 continue
             if self.stateName in d_inputs:
                 def dFdW(wv, tr, _f=f_name):
@@ -747,7 +747,7 @@ class DAFoamSolverUnsteady(om.ExplicitComponent):
             if f_name not in d_outputs:
                 continue
             seed = float(np.asarray(d_outputs[f_name]).ravel()[0])
-            if abs(seed) < 1e-300:
+            if abs(seed) < 1e-36:
                 continue
             totals, _ = solver.solve_unsteady_adjoint(self._hist, tree,
                                                       f_name)

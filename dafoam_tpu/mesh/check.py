@@ -28,18 +28,18 @@ def mesh_quality(geom, topo) -> MeshQuality:
 
     d = geom.cc[nei] - geom.cc[own]
     magd = jnp.linalg.norm(d, axis=-1)
-    nhat = geom.sf[:ni] / jnp.maximum(geom.magsf[:ni], 1e-300)[:, None]
+    nhat = geom.sf[:ni] / jnp.maximum(geom.magsf[:ni], 1e-36)[:, None]
 
     # non-orthogonality: angle between face normal and cell-centre vector
-    cosang = jnp.einsum("fi,fi->f", nhat, d) / jnp.maximum(magd, 1e-300)
+    cosang = jnp.einsum("fi,fi->f", nhat, d) / jnp.maximum(magd, 1e-36)
     non_orth = jnp.rad2deg(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
 
     # skewness (OpenFOAM definition): |Cf - intersection| / |d|
     t = jnp.einsum("fi,fi->f", geom.cf[:ni] - geom.cc[own], nhat) \
-        / jnp.maximum(jnp.einsum("fi,fi->f", d, nhat), 1e-300)
+        / jnp.maximum(jnp.einsum("fi,fi->f", d, nhat), 1e-36)
     xi = geom.cc[own] + t[:, None] * d
     skew = jnp.linalg.norm(geom.cf[:ni] - xi, axis=-1) \
-        / jnp.maximum(magd, 1e-300)
+        / jnp.maximum(magd, 1e-36)
 
     # orientation: owner->neighbour must align with Sf
     n_bad = jnp.sum(cosang <= 0.0)

@@ -69,7 +69,7 @@ def _face_centres_areas(points: jnp.ndarray, topo: MeshTopology):
     # d|v|/dv is 0 (not NaN) at v = 0.
     magsf_t = _safe_norm(t_sf)                # (nf, maxnv)
     sum_a = magsf_t.sum(axis=1)
-    cf = (t_c * magsf_t[..., None]).sum(axis=1) / jnp.maximum(sum_a, 1e-300)[:, None]
+    cf = (t_c * magsf_t[..., None]).sum(axis=1) / jnp.maximum(sum_a, 1e-36)[:, None]
     # degenerate (zero-area) faces fall back to the estimated centre
     cf = jnp.where(sum_a[:, None] > 1e-14, cf, c_est)
     magsf = _safe_norm(sf)
@@ -114,8 +114,8 @@ def _cell_centres_vols(cf, sf, topo: MeshTopology, dtype):
     vol = vol.at[nei].add(pv)
     ctr = ctr.at[nei].add(pc * pv[:, None])
 
-    cc = ctr / jnp.maximum(vol, 1e-300)[:, None]
-    cc = jnp.where(vol[:, None] > 1e-300, cc, c_est)
+    cc = ctr / jnp.maximum(vol, 1e-36)[:, None]
+    cc = jnp.where(vol[:, None] > 1e-36, cc, c_est)
     return cc, vol
 
 
@@ -129,7 +129,7 @@ def compute_geometry(points: jnp.ndarray, topo: MeshTopology) -> MeshGeometry:
     nei = topo.neighbour
     ni = topo.n_internal
 
-    nhat = sf / jnp.maximum(magsf, 1e-300)[:, None]
+    nhat = sf / jnp.maximum(magsf, 1e-36)[:, None]
 
     # ---- internal faces -------------------------------------------------
     d_i = cc[nei] - cc[own[:ni]]                      # owner -> neighbour
@@ -137,9 +137,9 @@ def compute_geometry(points: jnp.ndarray, topo: MeshTopology) -> MeshGeometry:
     sfd_nei = jnp.einsum("fi,fi->f", nhat[:ni], cc[nei] - cf[:ni])
     # OpenFOAM surfaceInterpolation::makeWeights: w = SfdNei/(SfdOwn+SfdNei),
     # weight applied to the OWNER value.
-    w_i = sfd_nei / jnp.where(jnp.abs(sfd_own + sfd_nei) > 1e-300,
+    w_i = sfd_nei / jnp.where(jnp.abs(sfd_own + sfd_nei) > 1e-36,
                               sfd_own + sfd_nei, 1.0)
-    dc_i = 1.0 / jnp.maximum(jnp.linalg.norm(d_i, axis=-1), 1e-300)
+    dc_i = 1.0 / jnp.maximum(jnp.linalg.norm(d_i, axis=-1), 1e-36)
     # nonOrthDeltaCoeffs: 1 / max(nhat.d, 0.05 |d|)
     nd = jnp.einsum("fi,fi->f", nhat[:ni], d_i)
     nodc_i = 1.0 / jnp.maximum(nd, 0.05 * jnp.linalg.norm(d_i, axis=-1))
@@ -148,7 +148,7 @@ def compute_geometry(points: jnp.ndarray, topo: MeshTopology) -> MeshGeometry:
     # ---- boundary faces --------------------------------------------------
     d_b = cf[ni:] - cc[own[ni:]]
     dist_b = jnp.linalg.norm(d_b, axis=-1)
-    dc_b = 1.0 / jnp.maximum(dist_b, 1e-300)
+    dc_b = 1.0 / jnp.maximum(dist_b, 1e-36)
     nd_b = jnp.einsum("fi,fi->f", nhat[ni:], d_b)
     nodc_b = 1.0 / jnp.maximum(nd_b, 0.05 * dist_b)
     corr_b = nhat[ni:] - nodc_b[:, None] * d_b

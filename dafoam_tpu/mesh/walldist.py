@@ -31,7 +31,7 @@ def _point_triangle_distance(p, a, b, c):
     """
     ab, ac, ap = b - a, c - a, p - a
     n = np.cross(ab, ac)
-    nn = np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-300)
+    nn = np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-36)
     nh = n / nn
     dist_plane = np.abs(np.einsum("...i,...i->...", ap, nh))
     # barycentric coords of the in-plane projection
@@ -40,7 +40,7 @@ def _point_triangle_distance(p, a, b, c):
     d11 = np.einsum("...i,...i->...", ac, ac)
     d20 = np.einsum("...i,...i->...", ap, ab)
     d21 = np.einsum("...i,...i->...", ap, ac)
-    denom = np.maximum(d00 * d11 - d01 * d01, 1e-300)
+    denom = np.maximum(d00 * d11 - d01 * d01, 1e-36)
     v = (d11 * d20 - d01 * d21) / denom
     w = (d00 * d21 - d01 * d20) / denom
     inside = (v >= 0.0) & (w >= 0.0) & (v + w <= 1.0)
@@ -48,7 +48,7 @@ def _point_triangle_distance(p, a, b, c):
     def seg(p, s0, s1):
         d = s1 - s0
         t = np.einsum("...i,...i->...", p - s0, d) / np.maximum(
-            np.einsum("...i,...i->...", d, d), 1e-300)
+            np.einsum("...i,...i->...", d, d), 1e-36)
         t = np.clip(t, 0.0, 1.0)
         q = s0 + t[..., None] * d
         return np.linalg.norm(p - q, axis=-1)

@@ -75,11 +75,11 @@ class TurbulenceModel:
 
             U = state["U"]
             nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:],
-                                              1e-300)[:, None]
+                                              1e-36)[:, None]
             Uo = U[own_b]
             Ut = Uo - jnp.einsum("fi,fi->f", Uo, nhat)[:, None] * nhat
-            mag_ut = jnp.sqrt(jnp.maximum(jnp.sum(Ut * Ut, -1), 1e-300))
-            y = 1.0 / jnp.maximum(geom.nonorth_dc[ni:], 1e-300)
+            mag_ut = jnp.sqrt(jnp.maximum(jnp.sum(Ut * Ut, -1), 1e-36))
+            y = 1.0 / jnp.maximum(geom.nonorth_dc[ni:], 1e-36)
             nut_wf = spalding_nut_wall(mag_ut, y, self.nu(inputs))
             out = jnp.where(jnp.asarray(wf, out.dtype) > 0.5, nut_wf, out)
         return out
@@ -117,7 +117,7 @@ class TurbulenceModel:
         own_b = topo.owner[ni:]
         # boundary gradient: replace normal component with BC snGrad
         sng_b = bc.boundary_sngrad(U_bco, U, topo)      # (nb,3)
-        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-300)[:, None]
+        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-36)[:, None]
         gU_own = gradU[own_b]
         gU_b = gU_own + nhat[:, :, None] * (
             sng_b - jnp.einsum("fi,fij->fj", nhat, gU_own))[:, None, :]

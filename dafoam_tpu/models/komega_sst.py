@@ -39,7 +39,7 @@ class KOmegaSST(TurbulenceModel):
     # ------------------------------------------------------------------
     def _strain2(self, gradU):
         sym = 0.5 * (gradU + jnp.swapaxes(gradU, -1, -2))
-        return 2.0 * jnp.maximum(jnp.sum(sym * sym, (-2, -1)), 1e-300)
+        return 2.0 * jnp.maximum(jnp.sum(sym * sym, (-2, -1)), 1e-36)
 
     def _f1_f2(self, state, inputs, geom, grads):
         nu = self.nu(inputs)

@@ -117,10 +117,10 @@ class KOmegaSSTLM(KOmegaSST):
     def _Fthetat(self, Us, Omega, nu, ret, gam, omega):
         """DAkOmegaSSTLM.C:371-391."""
         y = self.wall_dist
-        delta = 375.0 * Omega * nu * ret * y / jnp.maximum(Us ** 2, 1e-300)
+        delta = 375.0 * Omega * nu * ret * y / jnp.maximum(Us ** 2, 1e-36)
         re_om = y ** 2 * omega / nu
         fwake = jnp.exp(-((re_om / 1e5) ** 2))
-        a = fwake * jnp.exp(-((y / jnp.maximum(delta, 1e-300)) ** 4))
+        a = fwake * jnp.exp(-((y / jnp.maximum(delta, 1e-36)) ** 4))
         b = 1.0 - ((gam - 1.0 / CE2) / (1.0 - 1.0 / CE2)) ** 2
         return jnp.minimum(jnp.maximum(a, b), 1.0)
 
@@ -133,7 +133,7 @@ class KOmegaSSTLM(KOmegaSST):
         S = jnp.sqrt(self._strain2(gradU))
         skew = 0.5 * (gradU - jnp.swapaxes(gradU, -1, -2))
         Omega = jnp.sqrt(2.0 * jnp.maximum(
-            jnp.sum(skew * skew, (-2, -1)), 1e-300))
+            jnp.sum(skew * skew, (-2, -1)), 1e-36))
         Us = jnp.maximum(jnp.linalg.norm(U, axis=-1), SMALL_U)
         # dUs/ds = (U . (U . gradU)) / Us^2  (gradU[i,j] = dU_j/dx_i)
         UgU = jnp.einsum("ci,cij->cj", U, gradU)

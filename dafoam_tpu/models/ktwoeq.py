@@ -18,7 +18,7 @@ from dafoam_tpu.ops import fvmatrix as fvx
 
 def _strain2(gradU):
     sym = 0.5 * (gradU + jnp.swapaxes(gradU, -1, -2))
-    return 2.0 * jnp.maximum(jnp.sum(sym * sym, (-2, -1)), 1e-300)
+    return 2.0 * jnp.maximum(jnp.sum(sym * sym, (-2, -1)), 1e-36)
 
 
 class _TwoEq(TurbulenceModel):

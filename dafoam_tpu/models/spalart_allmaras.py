@@ -63,7 +63,7 @@ class SpalartAllmaras(TurbulenceModel):
         fv2 = 1.0 - chi / (1.0 + chi * fv1)
         skew = 0.5 * (gradU - jnp.swapaxes(gradU, -1, -2))
         omega = jnp.sqrt(2.0) * jnp.sqrt(
-            jnp.maximum(jnp.sum(skew * skew, axis=(-2, -1)), 1e-300))
+            jnp.maximum(jnp.sum(skew * skew, axis=(-2, -1)), 1e-36))
         inv_kd2 = 1.0 / (KAPPA ** 2 * d ** 2)
         stilda = jnp.maximum(omega + fv2 * nuTilda * inv_kd2, CS * omega)
         r = jnp.minimum(nuTilda / jnp.maximum(stilda, 1e-16) * inv_kd2, 10.0)
@@ -166,7 +166,7 @@ class SpalartAllmarasFv3(SpalartAllmaras):
         fv3 = (1.0 + chi_s * fv1) * (1.0 - fv2) / chi_s
         skew = 0.5 * (gradU - jnp.swapaxes(gradU, -1, -2))
         omega = jnp.sqrt(2.0) * jnp.sqrt(
-            jnp.maximum(jnp.sum(skew * skew, axis=(-2, -1)), 1e-300))
+            jnp.maximum(jnp.sum(skew * skew, axis=(-2, -1)), 1e-36))
         inv_kd2 = 1.0 / (KAPPA ** 2 * d ** 2)
         stilda = fv3 * omega + fv2 * nuTilda * inv_kd2
         stilda = jnp.maximum(stilda, 1e-16)

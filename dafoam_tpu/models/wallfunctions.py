@@ -49,7 +49,7 @@ def spalding_utau(mag_up, y, nu, iters=30):
 
     def body(_, ut):
         f, df = f_and_df(ut)
-        step = f / jnp.where(jnp.abs(df) > 1e-300, df, -1.0)
+        step = f / jnp.where(jnp.abs(df) > 1e-36, df, -1.0)
         ut_new = ut - step
         return jnp.clip(ut_new, 1e-12, 1e6)
 

@@ -27,7 +27,7 @@ def omega_vector(cfg, inputs, dtype):
     if om is None:
         om = cfg["omega"]
     ax = jnp.asarray(cfg.get("axis", [0.0, 0.0, 1.0]), dtype)
-    ax = ax / jnp.maximum(jnp.linalg.norm(ax), 1e-300)
+    ax = ax / jnp.maximum(jnp.linalg.norm(ax), 1e-36)
     return jnp.asarray(om, dtype) * ax
 
 
@@ -38,7 +38,7 @@ def cell_mask(cfg, geom, dtype):
     if zone.get("type") == "cylinder":
         o = jnp.asarray(zone["origin"], dtype)
         ax = jnp.asarray(zone["axis"], dtype)
-        ax = ax / jnp.maximum(jnp.linalg.norm(ax), 1e-300)
+        ax = ax / jnp.maximum(jnp.linalg.norm(ax), 1e-36)
         d = geom.cc - o
         z = d @ ax
         r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1) - z ** 2, 1e-30))

@@ -59,7 +59,7 @@ def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
     psi_own_all = psi[own_b]
     dc_all = geom.nonorth_dc[ni:]
     sf_all = geom.sf[ni:]
-    magsf_all = jnp.maximum(geom.magsf[ni:], 1e-300)
+    magsf_all = jnp.maximum(geom.magsf[ni:], 1e-36)
 
     vcs, vbs, gcs, gbs, acts = [], [], [], [], []
     for p in topo.patches:

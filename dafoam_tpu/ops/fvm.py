@@ -122,8 +122,8 @@ def _limit_correction(corr, orth, limit, psi):
     # NaN-safe norms: corr is exactly zero on orthogonal meshes and
     # d|x|/dx at 0 is NaN through jnp.linalg.norm — guard inside the sqrt
     if psi.ndim == 2:
-        mag_c = jnp.sqrt(jnp.maximum(jnp.sum(corr * corr, -1), 1e-300))
-        mag_o = jnp.sqrt(jnp.maximum(jnp.sum(orth * orth, -1), 1e-300))
+        mag_c = jnp.sqrt(jnp.maximum(jnp.sum(corr * corr, -1), 1e-36))
+        mag_o = jnp.sqrt(jnp.maximum(jnp.sum(orth * orth, -1), 1e-36))
     else:
         mag_c = jnp.abs(corr)
         mag_o = jnp.abs(orth)

@@ -25,12 +25,12 @@ import jax.numpy as jnp
 
 def _vorticity_mag(gradU):
     skew = 0.5 * (gradU - jnp.swapaxes(gradU, -1, -2))
-    return jnp.sqrt(2.0 * jnp.maximum(jnp.sum(skew * skew, (-2, -1)), 1e-300))
+    return jnp.sqrt(2.0 * jnp.maximum(jnp.sum(skew * skew, (-2, -1)), 1e-36))
 
 
 def _strain_mag(gradU):
     sym = 0.5 * (gradU + jnp.swapaxes(gradU, -1, -2))
-    return jnp.sqrt(2.0 * jnp.maximum(jnp.sum(sym * sym, (-2, -1)), 1e-300))
+    return jnp.sqrt(2.0 * jnp.maximum(jnp.sum(sym * sym, (-2, -1)), 1e-36))
 
 
 def compute_features(names, ctx):

@@ -36,7 +36,7 @@ def ckdiff(argv):
             continue
         d = np.abs(za[k] - zb[k]).max() if za[k].shape == zb[k].shape \
             else np.inf
-        ref = max(np.abs(za[k]).max(), 1e-300)
+        ref = max(np.abs(za[k]).max(), 1e-36)
         print(f"{k}: maxAbsDiff={d:.6e} rel={d/ref:.6e}")
         worst = max(worst, d / ref)
     return 0 if worst <= ns.rtol else 1

@@ -10,6 +10,7 @@ from dafoam_tpu.solvers.topo_cht import DATopoChtFoam
 from dafoam_tpu.solvers.rho_pimple import DARhoPimpleFoam
 from dafoam_tpu.solvers.pimple_dym import DAPimpleDyMFoam
 from dafoam_tpu.solvers.inter import DAInterFoam
+from dafoam_tpu.solvers.irk_pimple import DAIrkPimpleFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -47,7 +48,7 @@ def make_solver(option, topo, points):
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
            DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
            DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam, DARhoPimpleFoam,
-           DAPimpleDyMFoam, DAInterFoam):
+           DAPimpleDyMFoam, DAInterFoam, DAIrkPimpleFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",

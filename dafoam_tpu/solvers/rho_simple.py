@@ -172,7 +172,7 @@ class DARhoSimpleFoam(DASolverBase):
             from dafoam_tpu import mrf as mrfm
             # mass-flux makeRelative: phi -= rho_f (Omega x r).Sf
             phiHbyA = rho_f * mrfm.make_relative(
-                mrf, phiHbyA / jnp.maximum(rho_f, 1e-300), geom, topo,
+                mrf, phiHbyA / jnp.maximum(rho_f, 1e-36), geom, topo,
                 inputs)
 
         rho_rAU = rho * rAU
@@ -188,7 +188,7 @@ class DARhoSimpleFoam(DASolverBase):
             psi = 1.0 / (R * state["T"])
             psi_b = psi[topo.owner[ni:]]
             psi_f = fvc.interpolate(geom, topo, psi, psi_b)
-            F = phiHbyA / jnp.maximum(rho_f, 1e-300)   # volumetric HbyA flux
+            F = phiHbyA / jnp.maximum(rho_f, 1e-36)   # volumetric HbyA flux
             phid = psi_f * F
             divM = fvm.div(geom, topo, phid, p, p_bco, scheme="upwind")
             pM = divM - lapM   # matvec - source == div(phid,p) - lap(p)
@@ -228,7 +228,7 @@ class DARhoSimpleFoam(DASolverBase):
             gradU = fvc.grad(geom, topo, U, U_b)
             rho_b = rho[topo.owner[topo.n_internal:]]
             rho_f = fvc.interpolate(geom, topo, rho, rho_b)
-            phi_vol = phi / jnp.maximum(rho_f, 1e-300)
+            phi_vol = phi / jnp.maximum(rho_f, 1e-36)
             out.update(self.turb.residuals(state, inputs, geom, phi_vol,
                                            gradU=gradU))
         return out
@@ -307,7 +307,7 @@ class DARhoSimpleFoam(DASolverBase):
                 rho = self.rho_of(st, inputs)
                 rho_b = rho[topo.owner[topo.n_internal:]]
                 rho_f = fvc.interpolate(geom, topo, rho, rho_b)
-                phi_vol = phi_new / jnp.maximum(rho_f, 1e-300)
+                phi_vol = phi_new / jnp.maximum(rho_f, 1e-36)
                 U_bco2 = self._bco("U", U_new, inputs, geom, phi_new, 1)
                 U_b = bc.boundary_value(U_bco2, U_new, topo)
                 gradU = fvc.grad(geom, topo, U_new, U_b)
@@ -373,7 +373,7 @@ class DARhoSimpleFoam(DASolverBase):
         U_b = bc.boundary_value(U_bco, state["U"], topo)
         gradU = fvc.grad(geom, topo, state["U"], U_b)
         sng_b = bc.boundary_sngrad(U_bco, state["U"], topo)
-        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-300)[:, None]
+        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-36)[:, None]
         own_b = topo.owner[ni:]
         gU = gradU[own_b]
         ctx["gradU_b"] = gU + nhat[:, :, None] * (
@@ -381,7 +381,7 @@ class DARhoSimpleFoam(DASolverBase):
         Cp, R, mu, Pr, Prt = self._thermo(inputs)
         ctx["nu_eff_b"] = (mu + rho[own_b]
                            * self.turb.nut_boundary(state, inputs, geom)) \
-            / jnp.maximum(rho[own_b], 1e-300)
+            / jnp.maximum(rho[own_b], 1e-36)
         ctx["rho_ref"] = 1.0
         return ctx
 

@@ -255,7 +255,7 @@ class DASimpleFoam(DASolverBase):
         fixed_out = jnp.sum(phib * outflow * self._fixed_flux_b)
         adj_out = jnp.sum(phib * outflow * adj)
         corr = (mass_in - fixed_out) / jnp.where(
-            jnp.abs(adj_out) > 1e-300, adj_out, 1.0)
+            jnp.abs(adj_out) > 1e-36, adj_out, 1.0)
         phib_new = jnp.where((outflow > 0.5) & (adj > 0.5),
                              phib * corr, phib)
         return phiHbyA.at[ni:].set(phib_new)
@@ -577,7 +577,7 @@ class DASimpleFoam(DASolverBase):
         U_b = bc.boundary_value(U_bco, U, topo)
         gradU = fvc.grad(geom, topo, U, U_b)
         sng_b = bc.boundary_sngrad(U_bco, U, topo)
-        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-300)[:, None]
+        nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-36)[:, None]
         own_b = topo.owner[ni:]
         gU_own = gradU[own_b]
         ctx["gradU_b"] = gU_own + nhat[:, :, None] * (

@@ -31,7 +31,7 @@ def von_mises(sigma):
     s_dev = sigma - jnp.trace(sigma, axis1=-2, axis2=-1)[..., None, None] \
         * jnp.eye(3, dtype=sigma.dtype) / 3.0
     return jnp.sqrt(jnp.maximum(1.5 * jnp.sum(s_dev * s_dev, (-2, -1)),
-                                1e-300))
+                                1e-36))
 
 
 class DASolidDisplacementFoam(DASolverBase):
