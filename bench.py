@@ -188,8 +188,10 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "300"))
     try:
         if case == "naca":
-            out = run_naca(int(os.environ.get("BENCH_NW", "128")),
-                           int(os.environ.get("BENCH_NR", "48")), iters)
+            # 512x512 = 262,144 cells: large enough to occupy a TPU chip
+            # (VERDICT r1: the 128x48 default was latency-bound)
+            out = run_naca(int(os.environ.get("BENCH_NW", "512")),
+                           int(os.environ.get("BENCH_NR", "512")), iters)
         else:
             out = run_cavity(int(os.environ.get("BENCH_N", "96")), iters)
     except Exception as e:

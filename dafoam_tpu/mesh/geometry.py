@@ -83,36 +83,71 @@ def _safe_norm(v, axis=-1):
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, s2, 1.0)), 0.0)
 
 
+def _cell_faces_static(topo: MeshTopology):
+    """Static per-cell REAL-face count + internal-face validity mask (numpy).
+
+    Degenerate (zero-area) padding faces of the dense-DIA layout are
+    excluded from the estimated-cell-centre average (they do not exist on
+    the source mesh); their pyramid contributions are zero anyway (Sf=0).
+    Cached on the topology (static).
+    """
+    cached = getattr(topo, "_cell_faces_static", None)
+    if cached is not None:
+        return cached
+    nc, ni = topo.n_cells, topo.n_internal
+    dd = topo.dia_dense() if hasattr(topo, "dia_dense") else None
+    if dd is not None:
+        valid = dd[1].reshape(-1).astype(np.float64)
+    else:
+        valid = np.ones((ni,), dtype=np.float64)
+    m = valid > 0.5
+    nfc = np.zeros((nc,), dtype=np.float64)
+    np.add.at(nfc, topo.owner[:ni][m], 1.0)
+    np.add.at(nfc, topo.neighbour[m], 1.0)
+    np.add.at(nfc, topo.owner[ni:], 1.0)
+    out = (nfc, valid)
+    object.__setattr__(topo, "_cell_faces_static", out)
+    return out
+
+
 def _cell_centres_vols(cf, sf, topo: MeshTopology, dtype):
-    """Cell centres/volumes by pyramid decomposition about the estimated centre."""
+    """Cell centres/volumes by pyramid decomposition about the estimated
+    centre — scatter-free on the big face axes (face_sum_pair shifts for
+    internal faces, the patch-aware plan for boundary folds)."""
+    from dafoam_tpu.ops.core import (boundary_gather, boundary_scatter_add,
+                                     cell_to_face_nei, cell_to_face_own,
+                                     face_sum_pair)
     nc = topo.n_cells
-    own = topo.owner
-    nei = topo.neighbour
     ni = topo.n_internal
+    own_b = topo.owner[ni:]
 
-    # estimated cell centre: average of face centres
-    nfaces_per_cell = jnp.zeros((nc,), dtype=dtype)
-    nfaces_per_cell = nfaces_per_cell.at[own].add(1.0).at[nei].add(1.0)
-    c_est = jnp.zeros((nc, 3), dtype=dtype)
-    c_est = c_est.at[own].add(cf).at[nei].add(cf[:ni])
-    c_est = c_est / nfaces_per_cell[:, None]
+    nfc_np, valid_np = _cell_faces_static(topo)
+    wf = jnp.asarray(valid_np, dtype)[:, None]
 
-    def pyr(cells, faces_cf, faces_sf, sign):
+    # estimated cell centre: average of REAL face centres
+    cf_i = cf[:ni] * wf
+    c_est = face_sum_pair(cf_i, cf_i, topo)
+    c_est = boundary_scatter_add(c_est, cf[ni:], topo)
+    c_est = c_est / jnp.asarray(nfc_np, dtype)[:, None]
+
+    ce_own_i = cell_to_face_own(c_est, topo)       # (ni, 3)
+    ce_nei_i = cell_to_face_nei(c_est, topo)
+    ce_own_b = boundary_gather(c_est, topo)
+
+    def pyr(faces_cf, faces_sf, ce, sign):
         # pyramid volume = sign * (Sf . (Cf - Cest)) / 3
-        d = faces_cf - c_est[cells]
-        pv = sign * jnp.einsum("fi,fi->f", faces_sf, d) / 3.0
-        pc = 0.75 * faces_cf + 0.25 * c_est[cells]
+        pv = sign * jnp.einsum("fi,fi->f", faces_sf, faces_cf - ce) / 3.0
+        pc = 0.75 * faces_cf + 0.25 * ce
         return pv, pc
 
-    vol = jnp.zeros((nc,), dtype=dtype)
-    ctr = jnp.zeros((nc, 3), dtype=dtype)
+    pv_oi, pc_oi = pyr(cf[:ni], sf[:ni], ce_own_i, 1.0)
+    pv_ni, pc_ni = pyr(cf[:ni], sf[:ni], ce_nei_i, -1.0)
+    pv_ob, pc_ob = pyr(cf[ni:], sf[ni:], ce_own_b, 1.0)
 
-    pv, pc = pyr(own, cf, sf, 1.0)
-    vol = vol.at[own].add(pv)
-    ctr = ctr.at[own].add(pc * pv[:, None])
-    pv, pc = pyr(nei, cf[:ni], sf[:ni], -1.0)
-    vol = vol.at[nei].add(pv)
-    ctr = ctr.at[nei].add(pc * pv[:, None])
+    vol = face_sum_pair(pv_oi, pv_ni, topo)
+    vol = boundary_scatter_add(vol, pv_ob, topo)
+    ctr = face_sum_pair(pc_oi * pv_oi[:, None], pc_ni * pv_ni[:, None], topo)
+    ctr = boundary_scatter_add(ctr, pc_ob * pv_ob[:, None], topo)
 
     cc = ctr / jnp.maximum(vol, 1e-36)[:, None]
     cc = jnp.where(vol[:, None] > 1e-36, cc, c_est)
@@ -121,6 +156,8 @@ def _cell_centres_vols(cf, sf, topo: MeshTopology, dtype):
 
 def compute_geometry(points: jnp.ndarray, topo: MeshTopology) -> MeshGeometry:
     """points (n_points, 3) -> full differentiable geometry."""
+    from dafoam_tpu.ops.core import (boundary_gather, cell_to_face_nei,
+                                     cell_to_face_own)
     dtype = points.dtype
     cf, sf, magsf = _face_centres_areas(points, topo)
     cc, vol = _cell_centres_vols(cf, sf, topo, dtype)
@@ -131,10 +168,12 @@ def compute_geometry(points: jnp.ndarray, topo: MeshTopology) -> MeshGeometry:
 
     nhat = sf / jnp.maximum(magsf, 1e-36)[:, None]
 
-    # ---- internal faces -------------------------------------------------
-    d_i = cc[nei] - cc[own[:ni]]                      # owner -> neighbour
-    sfd_own = jnp.einsum("fi,fi->f", nhat[:ni], cf[:ni] - cc[own[:ni]])
-    sfd_nei = jnp.einsum("fi,fi->f", nhat[:ni], cc[nei] - cf[:ni])
+    # ---- internal faces (shift-based cell->face in the dense layout) ----
+    cc_own_i = cell_to_face_own(cc, topo)
+    cc_nei_i = cell_to_face_nei(cc, topo)
+    d_i = cc_nei_i - cc_own_i                         # owner -> neighbour
+    sfd_own = jnp.einsum("fi,fi->f", nhat[:ni], cf[:ni] - cc_own_i)
+    sfd_nei = jnp.einsum("fi,fi->f", nhat[:ni], cc_nei_i - cf[:ni])
     # OpenFOAM surfaceInterpolation::makeWeights: w = SfdNei/(SfdOwn+SfdNei),
     # weight applied to the OWNER value.
     w_i = sfd_nei / jnp.where(jnp.abs(sfd_own + sfd_nei) > 1e-36,
@@ -146,7 +185,7 @@ def compute_geometry(points: jnp.ndarray, topo: MeshTopology) -> MeshGeometry:
     corr_i = nhat[:ni] - nodc_i[:, None] * d_i        # correction vectors
 
     # ---- boundary faces --------------------------------------------------
-    d_b = cf[ni:] - cc[own[ni:]]
+    d_b = cf[ni:] - boundary_gather(cc, topo)
     dist_b = jnp.linalg.norm(d_b, axis=-1)
     dc_b = 1.0 / jnp.maximum(dist_b, 1e-36)
     nd_b = jnp.einsum("fi,fi->f", nhat[ni:], d_b)

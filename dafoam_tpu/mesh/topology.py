@@ -97,6 +97,45 @@ class MeshTopology:
     def boundary_owner(self) -> np.ndarray:
         return self.owner[self.n_internal:]
 
+    def boundary_scatter_plan(self):
+        """Per-patch plan for TPU-fast boundary->cell scatter-adds (cached).
+
+        A scatter-add over B random indices costs ~4.6 ms at B=500k on TPU
+        v5e (serializes), while a gather of the same size costs ~70 us. 2-D
+        meshes have two "empty" plane patches with n_cells faces EACH, so
+        the naive ``y.at[owner[ni:]].add(vals)`` dominates every assembly
+        op. For any patch whose owners form a bijection onto the cells
+        (the empty planes, in any renumbering), the scatter is instead the
+        inverse-permutation GATHER ``y += vals[inv_perm]``; other (small,
+        physical) patches keep the scatter.
+
+        Returns a list of (mode, bstart, size, idx): mode "perm" with
+        idx = inverse permutation (cell -> patch-face), or mode "scatter"
+        with idx = owner cells of the patch's faces.
+        """
+        cached = getattr(self, "_bscatter_plan", None)
+        if cached is not None:
+            return cached
+        ni = self.n_internal
+        plan = []
+        for p in self.patches:
+            own_p = self.owner[p.start:p.start + p.size]
+            b0 = p.start - ni
+            if p.size == self.n_cells and \
+                    np.array_equal(own_p, np.arange(self.n_cells)):
+                # owner IS the identity: fold with a plain vector add (XLA
+                # does not recognize an arange index constant as identity)
+                plan.append(("identity", b0, p.size, None))
+            elif p.size == self.n_cells and \
+                    np.array_equal(np.sort(own_p), np.arange(self.n_cells)):
+                inv = np.empty(self.n_cells, dtype=np.int32)
+                inv[own_p] = np.arange(p.size, dtype=np.int32)
+                plan.append(("perm", b0, p.size, inv))
+            else:
+                plan.append(("scatter", b0, p.size, own_p.astype(np.int32)))
+        object.__setattr__(self, "_bscatter_plan", plan)
+        return plan
+
     def ell(self):
         """Gather-form (ELL) cell-to-face adjacency for TPU matvecs.
 

@@ -63,10 +63,10 @@ class TurbulenceModel:
     def nut_boundary(self, state, inputs, geom):
         """Boundary nut: owner value off-wall; at walls zero (low-Re) or
         Spalding wall-function value where configured."""
+        from dafoam_tpu.ops.core import boundary_gather
         ni = self.topo.n_internal
         nut = self.nut(state, inputs, geom)
-        own_b = self.topo.owner[ni:]
-        nut_b = nut[own_b]
+        nut_b = boundary_gather(nut, self.topo)
         wall = self._wall_mask(geom.magsf.dtype)
         out = nut_b * (1.0 - wall)
         wf = getattr(self, "_wf_mask", None)
@@ -76,7 +76,7 @@ class TurbulenceModel:
             U = state["U"]
             nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:],
                                               1e-36)[:, None]
-            Uo = U[own_b]
+            Uo = boundary_gather(U, self.topo)
             Ut = Uo - jnp.einsum("fi,fi->f", Uo, nhat)[:, None] * nhat
             mag_ut = jnp.sqrt(jnp.maximum(jnp.sum(Ut * Ut, -1), 1e-36))
             y = 1.0 / jnp.maximum(geom.nonorth_dc[ni:], 1e-36)
@@ -111,14 +111,14 @@ class TurbulenceModel:
         nu_eff = self.nut_with_grad(state, inputs, geom, gradU) + nu
         nu_eff_b = self.nut_boundary(state, inputs, geom) + nu
         nu_eff_f = fvc.interpolate(geom, topo, nu_eff, nu_eff_b)
-        M = -fvm.laplacian(geom, topo, nu_eff_f, U, U_bco)
+        M = -fvm.laplacian(geom, topo, nu_eff_f, U, U_bco, grad_psi=gradU)
         # explicit: -div( nuEff * dev2(gradU^T) )
+        from dafoam_tpu.ops.core import boundary_gather
         ni = topo.n_internal
-        own_b = topo.owner[ni:]
         # boundary gradient: replace normal component with BC snGrad
         sng_b = bc.boundary_sngrad(U_bco, U, topo)      # (nb,3)
         nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-36)[:, None]
-        gU_own = gradU[own_b]
+        gU_own = boundary_gather(gradU, topo)
         gU_b = gU_own + nhat[:, :, None] * (
             sng_b - jnp.einsum("fi,fij->fj", nhat, gU_own))[:, None, :]
 

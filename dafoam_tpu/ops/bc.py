@@ -53,10 +53,10 @@ def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
     psi    : (nc,) or (nc,3) current cell values (for lagged/symmetry terms)
     phi_b  : (nb,) boundary face flux, needed by inletOutlet
     """
+    from dafoam_tpu.ops.core import boundary_gather
     ni = topo.n_internal
     dtype = psi.dtype
-    own_b = topo.owner[ni:]
-    psi_own_all = psi[own_b]
+    psi_own_all = boundary_gather(psi, topo)
     dc_all = geom.nonorth_dc[ni:]
     sf_all = geom.sf[ni:]
     magsf_all = jnp.maximum(geom.magsf[ni:], 1e-36)
@@ -139,10 +139,10 @@ def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
 
 def boundary_value(bcoef: BCoef, psi: jnp.ndarray, topo) -> jnp.ndarray:
     """psi_b = vc*psi_own + vb on every boundary face."""
-    own_b = topo.owner[topo.n_internal:]
-    return bcoef.vc * psi[own_b] + bcoef.vb
+    from dafoam_tpu.ops.core import boundary_gather
+    return bcoef.vc * boundary_gather(psi, topo) + bcoef.vb
 
 
 def boundary_sngrad(bcoef: BCoef, psi: jnp.ndarray, topo) -> jnp.ndarray:
-    own_b = topo.owner[topo.n_internal:]
-    return bcoef.gc * psi[own_b] + bcoef.gb
+    from dafoam_tpu.ops.core import boundary_gather
+    return bcoef.gc * boundary_gather(psi, topo) + bcoef.gb

@@ -24,6 +24,43 @@ def scatter_add(vals: jnp.ndarray, cells, n_cells: int, sorted: bool = False):
     return jax.ops.segment_sum(vals, cells, num_segments=n_cells)
 
 
+def boundary_gather(x: jnp.ndarray, topo):
+    """x[owner[ni:]] (cell values at boundary-face owners), patch-aware.
+
+    Identity patches (2-D empty planes) are a plain copy instead of a
+    525k-index gather (measured 3.75 ms -> ~0 at 262k cells)."""
+    parts = []
+    for mode, b0, sz, idx in topo.boundary_scatter_plan():
+        if mode == "identity":
+            parts.append(x)
+        elif mode == "perm":
+            # owner of patch-face j is the cell with inv[cell] == j, i.e.
+            # x reordered by the forward permutation = owner slice itself
+            parts.append(x[jnp.asarray(
+                topo.owner[topo.n_internal + b0:topo.n_internal + b0 + sz])])
+        else:
+            parts.append(x[jnp.asarray(idx)])
+    return jnp.concatenate(parts, axis=0)
+
+
+def boundary_scatter_add(y: jnp.ndarray, vals_b: jnp.ndarray, topo):
+    """y[owner[ni:]] += vals_b, patch-aware and TPU-fast.
+
+    Boundary-sized random scatters serialize on TPU (~4.6 ms at 500k
+    faces); patches whose owners are a bijection onto the cells (the 2-D
+    "empty" planes) are instead folded with an inverse-permutation gather
+    (~70 us). See MeshTopology.boundary_scatter_plan."""
+    for mode, b0, sz, idx in topo.boundary_scatter_plan():
+        v = jax.lax.slice_in_dim(vals_b, b0, b0 + sz, axis=0)
+        if mode == "identity":
+            y = y + v
+        elif mode == "perm":
+            y = y + v[jnp.asarray(idx)]
+        else:
+            y = y.at[jnp.asarray(idx)].add(v)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Gather-form face->cell reductions (the TPU-critical primitives)
 #
@@ -229,7 +266,7 @@ def surface_sum(vals_internal, vals_boundary, topo, active_b=None):
         if active_b is not None:
             shp = (-1,) + (1,) * (vals_boundary.ndim - 1)
             vals_boundary = vals_boundary * active_b.reshape(shp)
-        out = out + scatter_add(vals_boundary, topo.owner[ni:], topo.n_cells)
+        out = boundary_scatter_add(out, vals_boundary, topo)
     return out
 
 

@@ -120,7 +120,7 @@ def reconstruct(geom, topo, F_face):
     reference DAInterFoam/UEqnInter.H:13 / pEqnInter.H:64). Degenerate
     (zero-area) dense-layout faces contribute nothing.
     """
-    from dafoam_tpu.ops.core import scatter_add, face_sum_pair
+    from dafoam_tpu.ops.core import boundary_scatter_add, face_sum_pair
     ni = topo.n_internal
     msf = jnp.where(geom.magsf > 0.0, geom.magsf, 1.0)
     sf_n = geom.sf / msf[:, None]
@@ -128,11 +128,11 @@ def reconstruct(geom, topo, F_face):
     outer = jnp.einsum("fi,fj->fij", geom.sf, sf_n)
     Gi = face_sum_pair(outer[:ni].reshape(ni, 9),
                        outer[:ni].reshape(ni, 9), topo).reshape(-1, 3, 3)
-    G = Gi + scatter_add(outer[ni:].reshape(-1, 9), topo.owner[ni:],
-                         topo.n_cells).reshape(-1, 3, 3)
+    G = boundary_scatter_add(Gi.reshape(-1, 9), outer[ni:].reshape(-1, 9),
+                             topo).reshape(-1, 3, 3)
     rhs_f = sf_n * F_face[:, None]
     ri = face_sum_pair(rhs_f[:ni], rhs_f[:ni], topo)
-    r = ri + scatter_add(rhs_f[ni:], topo.owner[ni:], topo.n_cells)
+    r = boundary_scatter_add(ri, rhs_f[ni:], topo)
     # regularize to keep 3x3 invertible on 2-D (empty-direction) meshes
     G = G + 1e-30 * jnp.eye(3, dtype=F_face.dtype)
     return jnp.linalg.solve(G, r[..., None])[..., 0]

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 
 from dafoam_tpu.ops import fvc
 from dafoam_tpu.ops.bc import BCoef
-from dafoam_tpu.ops.core import (scatter_add, face_sum_pair,
-                                 face_sum_signed)
+from dafoam_tpu.ops.core import (scatter_add, boundary_scatter_add,
+                                 face_sum_pair, face_sum_signed)
 from dafoam_tpu.ops.fvmatrix import FvMatrix
 
 
@@ -92,10 +92,9 @@ def div(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind",
     source = _zeros_like_state(psi, topo, psi.dtype)
 
     # boundary: owner row gets phi_b * (vc psi_o + vb)
-    own_b = topo.owner[ni:]
     pb = _rank_r(phi_b, psi)
-    diag = diag.at[own_b].add(pb * bcoef.vc)
-    source = source.at[own_b].add(-pb * bcoef.vb)
+    diag = boundary_scatter_add(diag, pb * bcoef.vc, topo)
+    source = boundary_scatter_add(source, -pb * bcoef.vb, topo)
 
     if lu_corr is not None:
         # deferred correction: contribution += surfaceSum(+own/-nei) of the
@@ -159,15 +158,14 @@ def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
 
     # explicit non-orthogonal correction: + div( gamma * k . interp(grad psi) )
     if corrected:
+        from dafoam_tpu.ops.core import boundary_gather
         if grad_psi is None:
             if psi_b is None:
                 from dafoam_tpu.ops.bc import boundary_value
                 psi_b = boundary_value(bcoef, psi, topo)
             grad_psi = fvc.grad(geom, topo, psi, psi_b)
-            if grad_psi_b is None:
-                grad_psi_b = grad_psi[topo.owner[ni:]]
-        elif grad_psi_b is None:
-            grad_psi_b = grad_psi[topo.owner[ni:]]
+        if grad_psi_b is None:
+            grad_psi_b = boundary_gather(grad_psi, topo)
         from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
         gf = fvc.interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]
         corr = jnp.einsum("fi,fi...->f...", geom.corr_vec[:ni], gf)
@@ -180,10 +178,9 @@ def laplacian(geom, topo, gamma_f, psi, bcoef: BCoef, corrected: bool = True,
         source = source - face_sum_signed(cflux, topo)
 
     # boundary: gamma_b |Sf| (gc psi_own + gb), masked on empty patches
-    own_b = topo.owner[ni:]
     gb_coef = _rank_r(gamma_f[ni:] * geom.magsf[ni:] * bcoef.active, psi)
-    diag = diag.at[own_b].add(gb_coef * bcoef.gc)
-    source = source.at[own_b].add(-gb_coef * bcoef.gb)
+    diag = boundary_scatter_add(diag, gb_coef * bcoef.gc, topo)
+    source = boundary_scatter_add(source, -gb_coef * bcoef.gb, topo)
 
     return FvMatrix(diag=diag, lower=lower, upper=upper, source=source)
 
@@ -195,7 +192,8 @@ def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
     ni = topo.n_internal
     own = topo.owner[:ni]
     nei = topo.neighbour
-    from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
+    from dafoam_tpu.ops.core import (boundary_gather, cell_to_face_nei,
+                                     cell_to_face_own)
     dc = geom.nonorth_dc[:ni] if corrected else geom.delta_coeffs[:ni]
     coef = gamma_f[:ni] * geom.magsf[:ni] * dc
     dpsi = cell_to_face_nei(psi, topo) - cell_to_face_own(psi, topo)
@@ -207,14 +205,13 @@ def laplacian_flux(geom, topo, gamma_f, psi, bcoef: BCoef, corrected=True,
             psi_b = boundary_value(bcoef, psi, topo)
             grad_psi = fvc.grad(geom, topo, psi, psi_b)
         if grad_psi_b is None:
-            grad_psi_b = grad_psi[topo.owner[ni:]]
+            grad_psi_b = boundary_gather(grad_psi, topo)
         gf = fvc.interpolate(geom, topo, grad_psi, grad_psi_b)[:ni]
         corr = jnp.einsum("fi,fi->f", geom.corr_vec[:ni], gf)
         corr = _limit_correction(corr, orth, limit, psi)
         fl_i = fl_i + gamma_f[:ni] * geom.magsf[:ni] * corr
-    own_b = topo.owner[ni:]
     fl_b = gamma_f[ni:] * geom.magsf[ni:] * bcoef.active \
-        * (bcoef.gc * psi[own_b] + bcoef.gb)
+        * (bcoef.gc * boundary_gather(psi, topo) + bcoef.gb)
     return jnp.concatenate([fl_i, fl_b])
 
 
@@ -228,11 +225,12 @@ def div_flux(geom, topo, phi_f, psi, bcoef: BCoef, scheme: str = "upwind"):
         w = (phi_i >= 0.0).astype(psi.dtype)
     else:
         w = geom.weights[:ni]
-    from dafoam_tpu.ops.core import cell_to_face_nei, cell_to_face_own
+    from dafoam_tpu.ops.core import (boundary_gather, cell_to_face_nei,
+                                     cell_to_face_own)
     fl_i = phi_i * (w * cell_to_face_own(psi, topo)
                     + (1.0 - w) * cell_to_face_nei(psi, topo))
-    own_b = topo.owner[ni:]
-    fl_b = phi_f[ni:] * bcoef.active * (bcoef.vc * psi[own_b] + bcoef.vb)
+    fl_b = phi_f[ni:] * bcoef.active * (bcoef.vc * boundary_gather(psi, topo)
+                                        + bcoef.vb)
     return jnp.concatenate([fl_i, fl_b])
 
 

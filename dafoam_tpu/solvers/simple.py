@@ -202,12 +202,14 @@ class DASimpleFoam(DASolverBase):
         HbyA = rAU[:, None] * fvx.H(UEqn, U_pred, geom, topo)
         # boundary HbyA: U's value on value-fixing patches (constrainHbyA),
         # else extrapolated
+        from dafoam_tpu.ops.core import boundary_gather
         U_b = bc.boundary_value(U_bco, U_pred, topo)
+        HbyA_own = boundary_gather(HbyA, topo)
         if self.option["useConstrainHbyA"]:
             HbyA_b = jnp.where(self._fixed_flux_b[:, None] > 0.5,
-                               U_b, HbyA[topo.owner[ni:]])
+                               U_b, HbyA_own)
         else:
-            HbyA_b = HbyA[topo.owner[ni:]]
+            HbyA_b = HbyA_own
         phiHbyA = fvc.flux(geom, topo, HbyA, HbyA_b)
 
         mrf = self.option.get("MRF", {})
@@ -224,7 +226,8 @@ class DASimpleFoam(DASolverBase):
         if self.option["simple"]["consistent"]:
             rAtU = 1.0 / (1.0 / rAU - fvx.H1(UEqn, geom, topo))
             drA = rAtU - rAU
-            drA_f = fvc.interpolate(geom, topo, drA, drA[topo.owner[ni:]])
+            drA_f = fvc.interpolate(geom, topo, drA,
+                                    boundary_gather(drA, topo))
             sng_b = bc.boundary_sngrad(p_bco, p, topo)
             snp = fvc.snGrad(geom, topo, p, sng_b)
             phiHbyA = phiHbyA + drA_f * snp * geom.magsf
@@ -233,7 +236,7 @@ class DASimpleFoam(DASolverBase):
         else:
             rAtU = rAU
 
-        rA_b = rAtU[topo.owner[ni:]]
+        rA_b = boundary_gather(rAtU, topo)
         rAtU_f = fvc.interpolate(geom, topo, rAtU, rA_b)
         pM = fvm.laplacian(geom, topo, rAtU_f, p, p_bco)
         # pEqn: laplacian(rAtU, p) == div(phiHbyA)
@@ -578,8 +581,8 @@ class DASimpleFoam(DASolverBase):
         gradU = fvc.grad(geom, topo, U, U_b)
         sng_b = bc.boundary_sngrad(U_bco, U, topo)
         nhat = geom.sf[ni:] / jnp.maximum(geom.magsf[ni:], 1e-36)[:, None]
-        own_b = topo.owner[ni:]
-        gU_own = gradU[own_b]
+        from dafoam_tpu.ops.core import boundary_gather
+        gU_own = boundary_gather(gradU, topo)
         ctx["gradU_b"] = gU_own + nhat[:, :, None] * (
             sng_b - jnp.einsum("fi,fij->fj", nhat, gU_own))[:, None, :]
         nu = inputs["params"]["nu"]
