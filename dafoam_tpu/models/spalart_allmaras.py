@@ -29,6 +29,29 @@ CV1 = 7.1
 CS = 0.3
 
 
+def _fw_of_g(g):
+    """fw(g) = g * ((1+cw3^6)/(g^6+cw3^6))^(1/6), in an f32-safe form.
+
+    The literal expression forms g^6 ~ 7e32 at the r=10 clamp; its jvp
+    (quotient + power rules) overflows float32 intermediates -> NaN
+    adjoints on TPU. Rewrite with all intermediates O(1) using
+    fw = A / (1+(c/g)^6)^(1/6)        for g >= c
+       = A * (g/c) / (1+(g/c)^6)^(1/6) for g <  c
+    (algebraically identical; A = (1+c^-6 * c^6... = (1+cw3^6)^(1/6)),
+    branch-selected with double-where so the unselected branch never
+    divides by a small g."""
+    c = CW3
+    A = (1.0 + c ** 6) ** (1.0 / 6.0)
+    hi = g >= c
+    g_hi = jnp.where(hi, g, c)         # >= c in the selected branch
+    g_lo = jnp.where(hi, c, g)         # <= c in the selected branch
+    t_hi = (c / g_hi) ** 6             # <= 1
+    t_lo = (g_lo / c) ** 6             # <= 1
+    fw_hi = A / (1.0 + t_hi) ** (1.0 / 6.0)
+    fw_lo = A * (g_lo / c) / (1.0 + t_lo) ** (1.0 / 6.0)
+    return jnp.where(hi, fw_hi, fw_lo)
+
+
 class SpalartAllmaras(TurbulenceModel):
     model_states = ("nuTilda",)
 
@@ -68,8 +91,7 @@ class SpalartAllmaras(TurbulenceModel):
         stilda = jnp.maximum(omega + fv2 * nuTilda * inv_kd2, CS * omega)
         r = jnp.minimum(nuTilda / jnp.maximum(stilda, 1e-16) * inv_kd2, 10.0)
         g = r + CW2 * (r ** 6 - r)
-        fw = g * ((1.0 + CW3 ** 6) / (g ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
-        return stilda, fw, d
+        return stilda, _fw_of_g(g), d
 
     def _bco(self, state, inputs, geom, phi):
         return bc.coeffs(self.bc_spec, inputs["bc"].get("nuTilda", {}),
@@ -172,5 +194,4 @@ class SpalartAllmarasFv3(SpalartAllmaras):
         stilda = jnp.maximum(stilda, 1e-16)
         r = jnp.minimum(nuTilda / stilda * inv_kd2, 10.0)
         g = r + CW2 * (r ** 6 - r)
-        fw = g * ((1.0 + CW3 ** 6) / (g ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
-        return stilda, fw, d
+        return stilda, _fw_of_g(g), d

@@ -126,8 +126,15 @@ def _limit_correction(corr, orth, limit, psi):
     else:
         mag_c = jnp.abs(corr)
         mag_o = jnp.abs(orth)
+    # clamp the denominator at a DTYPE-AWARE floor: the quotient-rule jvp
+    # divides by denom^2, and with the old `+ 1e-30` additive guard
+    # denom^2 ~ 1e-60 UNDERFLOWS to 0 in f32 -> 0/0 = NaN tangents at the
+    # degenerate (zero-area) dense-layout faces where mag_c == mag_o == 0.
+    # The floor keeps denom^2 normal in either precision; where mag_c is
+    # that tiny, corr ~ 0 and the limiter value is irrelevant.
+    tiny = 1e-30 if mag_c.dtype == jnp.float64 else 1e-18
     lam = jnp.minimum(1.0, limit * mag_o
-                      / ((1.0 - limit) * mag_c + 1e-30))
+                      / jnp.maximum((1.0 - limit) * mag_c, tiny))
     return _rank_r(lam, psi) * corr
 
 
