@@ -245,9 +245,42 @@ class DASolverBase:
                                 state, inputs)
 
     def run_adjoint(self, func_name, state, inputs):
-        return self._jitted(("adj", func_name),
-                            lambda s, i: self.solve_adjoint(s, i, func_name))(
-                                state, inputs)
+        """Jitted adjoint solve.
+
+        adjEqnOption.jitMode:
+          "closure" (default) — jit with ``inputs`` embedded as compile-time
+            constants. On TPU, XLA's layout assignment for traced
+            input-derived arrays (geometry coefficients with minor dims of
+            3) picks tiled layouts padded up to 57x ((nf,3,3) tensors:
+            T(4,128) pads 3,3 -> 4,128), making every FGMRES iteration
+            ~6x slower (112 ms vs 18 ms per iteration at 262k cells,
+            measured v5e). With constant inputs the layouts collapse to
+            dense ones. Cost: recompile when the input VALUES change (one
+            compile per design update in an optimization loop) — the
+            closure cache is keyed on the identity of the input leaves.
+          "traced" — inputs are ordinary jit arguments; one compile total,
+            slower per-iteration on TPU. Use when inputs change every call.
+        """
+        mode = self.option["adjEqnOption"].get("jitMode", "closure")
+        if mode == "traced":
+            return self._jitted(("adj", func_name),
+                                lambda s, i: self.solve_adjoint(s, i,
+                                                                func_name))(
+                                    state, inputs)
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        key = ("adjc", func_name,
+               tuple(id(l) for l in jax.tree_util.tree_leaves(inputs)))
+        if key not in cache:
+            for k in [k for k in cache
+                      if isinstance(k, tuple) and k[:2] == ("adjc",
+                                                            func_name)]:
+                del cache[k]
+            inputs_c = jax.tree_util.tree_map(jnp.asarray, inputs)
+            cache[key] = jax.jit(
+                lambda s: self.solve_adjoint(s, inputs_c, func_name))
+        return cache[key](state)
 
     def run_totals(self, func_name, state, inputs, psi):
         return self._jitted(

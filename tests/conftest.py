@@ -22,7 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# single-core machine: persistent compile cache makes reruns tolerable
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compile cache in tests: the XLA:CPU executable serializer
+# segfaults on certain executables in this environment (reproducible
+# 'Fatal Python error' inside put_executable_and_time, with or without
+# jax_persistent_cache_enable_xla_caches=none). Fresh compiles are slower
+# on reruns but never abort the suite. Set DAFOAM_TPU_TEST_CACHE=1 to
+# opt back in on machines where the serializer is healthy.
+if os.environ.get("DAFOAM_TPU_TEST_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
