@@ -11,6 +11,7 @@ from dafoam_tpu.solvers.rho_pimple import DARhoPimpleFoam
 from dafoam_tpu.solvers.pimple_dym import DAPimpleDyMFoam
 from dafoam_tpu.solvers.inter import DAInterFoam
 from dafoam_tpu.solvers.irk_pimple import DAIrkPimpleFoam
+from dafoam_tpu.solvers.hisa import DAHisaFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -48,7 +49,7 @@ def make_solver(option, topo, points):
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
            DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
            DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam, DARhoPimpleFoam,
-           DAPimpleDyMFoam, DAInterFoam, DAIrkPimpleFoam):
+           DAPimpleDyMFoam, DAInterFoam, DAIrkPimpleFoam, DAHisaFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",
