@@ -44,14 +44,30 @@ def _expand(val, size, rank, dtype):
     return jnp.broadcast_to(v, target)
 
 
+def _params(spec: dict, values: dict, pname: str) -> dict:
+    """Merge the static spec with a traced per-patch override dict, so
+    parametric-BC parameters can be design inputs."""
+    over = values.get(pname, {})
+    if not isinstance(over, dict):
+        return spec
+    return {**spec, **over}
+
+
 def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
-           rank: int = 0, phi_b: jnp.ndarray | None = None) -> BCoef:
+           rank: int = 0, phi_b: jnp.ndarray | None = None,
+           t=0.0) -> BCoef:
     """Assemble boundary coefficient arrays for one field over all patches.
 
     bcspec : {patch_name: {"type": str, ...}} (static)
-    values : {patch_name: array} traced BC values (fixedValue etc.)
+    values : {patch_name: array-or-dict} traced BC values; dict-valued
+             entries override the static parameters of parametric BCs
+             (multiFreq*, varyingVelocity*, homTemp, ...) so they can be
+             design inputs
     psi    : (nc,) or (nc,3) current cell values (for lagged/symmetry terms)
-    phi_b  : (nb,) boundary face flux, needed by inletOutlet
+    phi_b  : (nb,) boundary face flux, needed by inletOutlet-family BCs
+    t      : traced physical time for time-dependent BCs (reference
+             DAMisc multiFreq/varyingVelocity updateCoeffs use
+             time().timeOutputValue())
     """
     from dafoam_tpu.ops.core import boundary_gather
     ni = topo.n_internal
@@ -124,6 +140,101 @@ def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
             vb = -(psin[:, None] - psi_own * nhat) * nhat
             gc = (vc - 1.0) * dc_b
             gb = vb * dc_b
+        elif btype in ("multiFreqScalar", "multiFreqVector"):
+            # DAMisc/multiFreq{Scalar,Vector}FvPatchField.C updateCoeffs:
+            # fixedValue refValue + sum_i a_i sin(2 pi f_i t + ph_i)
+            # (vector variant adds the oscillation to one component,
+            # only while t < endTime)
+            pr = _params(spec, values, p.name)
+            amps = jnp.asarray(pr.get("amplitudes", ()), dtype)
+            freqs = jnp.asarray(pr.get("frequencies", ()), dtype)
+            phases = jnp.asarray(pr.get("phases", ()), dtype)
+            nf = max(amps.shape[0], freqs.shape[0], phases.shape[0])
+            amps = jnp.broadcast_to(amps, (nf,)) if nf else amps
+            freqs = jnp.broadcast_to(freqs, (nf,)) if nf else freqs
+            phases = jnp.broadcast_to(phases, (nf,)) if nf else phases
+            osc = jnp.sum(amps * jnp.sin(2.0 * jnp.pi * freqs * t
+                                         + phases)) if nf else \
+                jnp.asarray(0.0, dtype)
+            if btype == "multiFreqScalar":
+                val = _expand(pr.get("refValue", 0.0), n, 0, dtype) + osc
+            else:
+                end_t = pr.get("endTime", None)
+                if end_t is not None:
+                    osc = jnp.where(jnp.asarray(t, dtype)
+                                    < jnp.asarray(end_t, dtype), osc, 0.0)
+                comp = int(spec.get("component", 0))
+                val = _expand(pr.get("refValue", [0.0, 0.0, 0.0]), n, 1,
+                              dtype)
+                val = val.at[:, comp].add(osc)
+            vc, vb = zero, val
+            gc, gb = -dc_b * one, dc_b * val
+        elif btype in ("varyingVelocity", "varyingVelocityInletOutlet"):
+            # DAMisc/varyingVelocity*.C: U(t) = U0 + URate*t at angle
+            # alpha(t) = alpha0 + alphaRate*t, split over the flow /
+            # normal components; the InletOutlet variant switches to
+            # zeroGradient on outflow faces (valueFraction = 1-pos0(phi))
+            pr = _params(spec, values, p.name)
+            Ut = jnp.asarray(pr.get("U0", 0.0), dtype) \
+                + jnp.asarray(pr.get("URate", 0.0), dtype) * t
+            al = jnp.asarray(pr.get("alpha0", 0.0), dtype) \
+                + jnp.asarray(pr.get("alphaRate", 0.0), dtype) * t
+            fc = int(spec.get("flowComponent", 0))
+            nc_ = int(spec.get("normalComponent", 1))
+            val = jnp.zeros((n, 3), dtype)
+            val = val.at[:, fc].set(Ut * jnp.cos(al))
+            val = val.at[:, nc_].set(Ut * jnp.sin(al))
+            if btype == "varyingVelocity":
+                vc, vb = zero, val
+                gc, gb = -dc_b * one, dc_b * val
+            else:
+                if phi_b is None:
+                    raise ValueError(
+                        "varyingVelocityInletOutlet BC needs phi_b")
+                out = phi_b[sl] >= 0.0
+                out = out[:, None]
+                vc = jnp.where(out, one, zero)
+                vb = jnp.where(out, zero, val)
+                gc = jnp.where(out, zero, -dc_b * one)
+                gb = jnp.where(out, zero, dc_b * val)
+        elif btype == "homTemp":
+            # DAMisc/homTemp: homogenized thin-solid-layer wall,
+            # T_face = (T_base + C T_cell) / (1 + C),
+            # C = kF/kS * solidThickness * deltaCoeffs
+            pr = _params(spec, values, p.name)
+            kS = jnp.asarray(pr.get("kS", 1.0), dtype)
+            kF = jnp.asarray(pr.get("kF", 1.0), dtype)
+            th = jnp.asarray(pr.get("solidThickness", 0.0), dtype)
+            Tb = _expand(pr.get("baseTemperature", 0.0), n, 0, dtype)
+            C = kF / kS * th * dc
+            vc = (C / (1.0 + C)) * one
+            vb = Tb / (1.0 + C)
+            gc = (vc - 1.0) * dc_b
+            gb = vb * dc_b
+        elif btype == "wallHeatFluxTransfer":
+            # DAMisc/wallHeatFluxTransfer: mixed BC with external heat
+            # transfer coefficient h and ambient Ta,
+            # valueFraction = h / (h + kappa*deltaCoeffs), refGrad = 0
+            pr = _params(spec, values, p.name)
+            hh = _expand(pr.get("h", 0.0), n, 0, dtype)
+            Ta = _expand(pr.get("Ta", 293.0), n, 0, dtype)
+            kap = _expand(pr.get("kappa", 1.0), n, 0, dtype)
+            vf = hh / jnp.maximum(hh + kap * dc, 1e-300)
+            vc = (1.0 - vf) * one
+            vb = vf * Ta
+            gc = -vf * dc_b
+            gb = vf * Ta * dc_b
+        elif btype == "fixedWallHeatFlux":
+            # DAMisc/fixedWallHeatFlux: fixedGradient with
+            # grad = q / ((nut/Prt + nu/Pr) * Cp); the solver supplies the
+            # per-face effective diffusivity*Cp as `alphaCpEff` (it owns
+            # nut at the wall)
+            pr = _params(spec, values, p.name)
+            q = _expand(pr.get("heatFlux", 0.0), n, 0, dtype)
+            aCp = _expand(pr.get("alphaCpEff", 1.0), n, 0, dtype)
+            g = q / jnp.maximum(aCp, 1e-300)
+            vc, vb = one, g / dc_b
+            gc, gb = zero, g
         else:
             raise NotImplementedError(f"BC type {btype!r} (patch {p.name})")
 

@@ -186,9 +186,59 @@ def stltransform(argv):
     return 0
 
 
+def probe(argv):
+    """Probe-point time series from a history checkpoint (reference
+    getProbeTimeSeries)."""
+    ap = argparse.ArgumentParser(prog="probe")
+    ap.add_argument("case", help="OpenFOAM case dir with constant/polyMesh")
+    ap.add_argument("ckpt", help="npz checkpoint with state/<var> history "
+                                 "stacked on axis 0")
+    ap.add_argument("var")
+    ap.add_argument("--coords", type=float, nargs=3, required=True)
+    ap.add_argument("--out", default=None)
+    ns = ap.parse_args(argv)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from dafoam_tpu.mesh.polymesh import read_polymesh
+    from dafoam_tpu.mesh.geometry import compute_geometry
+    from dafoam_tpu.utils.prepost import probe_time_series
+
+    pts, topo = read_polymesh(ns.case)
+    geom = compute_geometry(jnp.asarray(pts), topo)
+    z = np.load(ns.ckpt)
+    hist = z[f"state/{ns.var}"]
+    series = probe_time_series(hist, np.asarray(geom.cc), ns.coords)
+    txt = "\n".join(" ".join("%.12g" % x for x in np.atleast_1d(row))
+                    for row in series)
+    if ns.out:
+        open(ns.out, "w").write(txt + "\n")
+        print("wrote", ns.out)
+    else:
+        print(txt)
+    return 0
+
+
+def fieldrmse(argv):
+    """Per-step RMSE between two history checkpoints (reference
+    getFieldRMSETimeSeries)."""
+    ap = argparse.ArgumentParser(prog="fieldrmse")
+    ap.add_argument("ckpt_a")
+    ap.add_argument("ckpt_b")
+    ap.add_argument("var")
+    ns = ap.parse_args(argv)
+    from dafoam_tpu.utils.prepost import field_rmse_time_series
+    za, zb = np.load(ns.ckpt_a), np.load(ns.ckpt_b)
+    for v in field_rmse_time_series(za[f"state/{ns.var}"],
+                                    zb[f"state/{ns.var}"]):
+        print("%.12g" % v)
+    return 0
+
+
 _TOOLS = {"ckdiff": ckdiff, "ckget": ckget, "meshinfo": meshinfo,
           "surfvtk": surfvtk, "plot3dtransform": plot3dtransform,
-          "stltransform": stltransform}
+          "stltransform": stltransform, "probe": probe,
+          "fieldrmse": fieldrmse}
 
 
 def main(argv=None):

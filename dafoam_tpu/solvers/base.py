@@ -33,6 +33,16 @@ from dafoam_tpu.mesh.geometry import compute_geometry
 from dafoam_tpu.option import DAOption
 from dafoam_tpu.states import StateInfo, StateLayout
 
+# DAMisc parametric BC types (ops/bc.py): their numeric parameters are
+# exposed as traced inputs so they can be design variables
+_PARAMETRIC_BC_TYPES = (
+    "multiFreqScalar", "multiFreqVector", "varyingVelocity",
+    "varyingVelocityInletOutlet", "homTemp", "wallHeatFluxTransfer",
+    "fixedWallHeatFlux")
+# spec keys that stay static (structure, not values)
+_STATIC_BC_KEYS = ("type", "component", "flowComponent",
+                   "normalComponent", "endTime", "value")
+
 
 class PrimalInfo(NamedTuple):
     iters: jnp.ndarray
@@ -59,7 +69,15 @@ class DASolverBase:
             for pname, spec in patches.items():
                 self.bc_spec[field][pname] = {
                     k: v for k, v in spec.items() if k != "value"}
-                if "value" in spec:
+                if spec.get("type") in _PARAMETRIC_BC_TYPES:
+                    # DAMisc parametric BCs: every numeric parameter is a
+                    # traced input (differentiable design variable); the
+                    # structural ones (component indices etc.) stay static
+                    self.bc_values0[field][pname] = {
+                        k: jnp.asarray(v, self.dtype)
+                        for k, v in spec.items()
+                        if k not in _STATIC_BC_KEYS}
+                elif "value" in spec:
                     self.bc_values0[field][pname] = jnp.asarray(
                         spec["value"], self.dtype)
         # default empty-patch handling: every field gets "empty" on empty kinds

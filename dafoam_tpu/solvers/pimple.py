@@ -82,6 +82,11 @@ class DAPimpleFoam(DASimpleFoam):
     def residuals_unsteady(self, W, W_old, W_oldold, inputs, n=None):
         geom = self.geometry(inputs)
         topo = self.topo
+        if n is not None:
+            # physical time of the state W (step n lives at t = n dt):
+            # time-dependent BCs (multiFreq*/varyingVelocity*) read it
+            inputs = {**inputs,
+                      "t": jnp.asarray(n, self.dtype) * self.dt}
         bdf2 = None
         if self.ddt_order == 2 and n is not None:
             bdf2 = (n > 1).astype(self.dtype) if hasattr(n, "astype") \
@@ -114,8 +119,10 @@ class DAPimpleFoam(DASimpleFoam):
         return self._apply_res_norm(out, geomv)
 
     # -- one time step -----------------------------------------------------
-    def _step(self, state_old, inputs, geom, state_oldold=None):
+    def _step(self, state_old, inputs, geom, state_oldold=None, t=None):
         lin = self.option["primalLinearSolver"]
+        if t is not None:
+            inputs = {**inputs, "t": t}
 
         def outer(_, state):
             UEqn, U_bco = self._ueqn_dt(state, state_old, inputs, geom,
@@ -175,27 +182,29 @@ class DAPimpleFoam(DASimpleFoam):
         geom = self.geometry(inputs)
 
         if self.ddt_order == 1:
-            def scan_step(state, _):
-                st = self._step(state, inputs, geom)
+            def scan_step(state, n):
+                st = self._step(state, inputs, geom,
+                                t=n.astype(self.dtype) * self.dt)
                 return st, st
 
-            stT, hist_steps = jax.lax.scan(scan_step, state0, None,
-                                           length=self.n_steps)
+            stT, hist_steps = jax.lax.scan(scan_step, state0,
+                                           jnp.arange(1, self.n_steps + 1))
             hist = jax.tree_util.tree_map(
                 lambda a0, ah: jnp.concatenate([a0[None], ah], axis=0),
                 state0, hist_steps)
             return stT, hist
 
         # BDF2: Euler bootstrap for step 1 (OpenFOAM 'backward' behavior)
-        st1 = self._step(state0, inputs, geom)
+        st1 = self._step(state0, inputs, geom, t=self.dt)
 
-        def scan_step(carry, _):
+        def scan_step(carry, n):
             W, W_old = carry
-            st = self._step(W, inputs, geom, state_oldold=W_old)
+            st = self._step(W, inputs, geom, state_oldold=W_old,
+                            t=n.astype(self.dtype) * self.dt)
             return (st, W), st
 
         (stT, _), hist_steps = jax.lax.scan(
-            scan_step, (st1, state0), None, length=self.n_steps - 1)
+            scan_step, (st1, state0), jnp.arange(2, self.n_steps + 1))
         hist = jax.tree_util.tree_map(
             lambda a0, a1, ah: jnp.concatenate(
                 [a0[None], a1[None], ah], axis=0),
@@ -215,13 +224,15 @@ class DAPimpleFoam(DASimpleFoam):
 
         def advance(carry, n):
             W, W_old = carry
+            tn = n.astype(self.dtype) * self.dt
             if self.ddt_order == 2:
                 st = jax.lax.cond(
                     n > 1,
-                    lambda: self._step(W, inputs, geom, state_oldold=W_old),
-                    lambda: self._step(W, inputs, geom))
+                    lambda: self._step(W, inputs, geom, state_oldold=W_old,
+                                       t=tn),
+                    lambda: self._step(W, inputs, geom, t=tn))
             else:
-                st = self._step(W, inputs, geom)
+                st = self._step(W, inputs, geom, t=tn)
             vals = jnp.stack(
                 [self.eval_function(f, st, inputs) for f in fnames]) \
                 if fnames else jnp.zeros((0,), self.dtype)
@@ -253,7 +264,8 @@ class DAPimpleFoam(DASimpleFoam):
         stT, hist = self.solve_primal_history(state, inputs)
         ok = self.states_valid(stT)
         W_old = jax.tree_util.tree_map(lambda a: a[-2], hist)
-        res = self.residuals_unsteady(stT, W_old, W_old, inputs)
+        res = self.residuals_unsteady(stT, W_old, W_old, inputs,
+                                      n=jnp.asarray(self.n_steps))
         mx = jnp.max(jnp.asarray(
             [jnp.max(jnp.abs(v)) for v in res.values()]))
         return stT, PrimalInfo(jnp.asarray(self.n_steps), mx, ok,
@@ -364,7 +376,8 @@ class DAPimpleFoam(DASimpleFoam):
             # bootstrap; segments never contain it except the first, whose
             # checkpoint triple repeats the IC so BDF2 with W2=W1=IC is
             # the Euler step scaled — recompute exactly like the primal:
-            return self._step(W, x, geom)
+            return self._step(W, x, geom,
+                              t=jnp.asarray(n, self.dtype) * self.dt)
 
         if self.ddt_order == 2:
             raise NotImplementedError(
@@ -372,9 +385,11 @@ class DAPimpleFoam(DASimpleFoam):
                 "(Euler); use the in-memory sweep for BDF2")
         totals, resids = unsteady_adjoint_totals_checkpointed(
             advance,
-            lambda W, Wo, Woo, x: self.residuals_unsteady(W, Wo, Woo, x),
-            lambda W, x: self.eval_function(func_name, W, x),
+            lambda W, Wo, Woo, x, n: self.residuals_unsteady(
+                W, Wo, Woo, x, n),
+            lambda W, x, n: self.eval_function(func_name, W, x),
             checkpoints, seg_len, self.n_steps, inputs, weights,
+            time_dep=True,
             ddt_order=1, state_scales=scales, res_scales=scales,
             restart=opt["gmresRestart"], rel_tol=opt["gmresRelTol"],
             abs_tol=opt["gmresAbsTol"], max_iters=opt["gmresMaxIters"],

@@ -151,12 +151,14 @@ class DASimpleFoam(DASolverBase):
                 self.dtype))
         return bc.coeffs(self.bc_spec["U"], vals,
                          self.topo, geom, U, rank=1,
-                         phi_b=phi[self.topo.n_internal:])
+                         phi_b=phi[self.topo.n_internal:],
+                         t=inputs.get("t", 0.0))
 
     def _bco_p(self, p, inputs, geom, phi):
         return bc.coeffs(self.bc_spec["p"], inputs["bc"].get("p", {}),
                          self.topo, geom, p, rank=0,
-                         phi_b=phi[self.topo.n_internal:])
+                         phi_b=phi[self.topo.n_internal:],
+                         t=inputs.get("t", 0.0))
 
     # ------------------------------------------------------------------
     # shared assembly: momentum eqn + pressure projection pieces
@@ -278,7 +280,8 @@ class DASimpleFoam(DASolverBase):
         nu = prm["nu"]
         T_bco = bc.coeffs(self.bc_spec["T"], inputs["bc"].get("T", {}),
                           topo, geom, T, rank=0,
-                          phi_b=phi[topo.n_internal:])
+                          phi_b=phi[topo.n_internal:],
+                          t=inputs.get("t", 0.0))
         alpha_eff = nu / Pr + self.turb.nut(state, inputs, geom) / Prt
         alpha_b = nu / Pr + self.turb.nut_boundary(state, inputs, geom) / Prt
         alpha_f = fvc.interpolate(geom, topo, alpha_eff, alpha_b)
@@ -566,7 +569,8 @@ class DASimpleFoam(DASolverBase):
         if self.has_T:
             T_bco = bc.coeffs(self.bc_spec["T"], inputs["bc"].get("T", {}),
                               topo, geom, state["T"], rank=0,
-                              phi_b=phi[topo.n_internal:])
+                              phi_b=phi[topo.n_internal:],
+                              t=inputs.get("t", 0.0))
             out["T"] = bc.boundary_value(T_bco, state["T"], topo)
         return out
 
