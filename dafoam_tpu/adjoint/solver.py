@@ -89,7 +89,8 @@ def dJdW_of(func_fn: Callable, state, inputs):
 
 def forward_total_derivative(residual_fn: Callable, func_fn: Callable, state,
                              inputs, dx, linear_solve: Callable | None = None,
-                             restart=60, rel_tol=1e-10, max_iters=2000):
+                             restart=60, rel_tol=1e-10, max_iters=2000,
+                             precond: Callable | None = None):
     """Forward-mode total derivative (the reference's ADF cross-check,
     testFuncs.py:34-46): dW = -(dR/dW)^{-1} (pR/px dx); dJ = pJ/pW dW + pJ/px dx.
     """
@@ -102,7 +103,7 @@ def forward_total_derivative(residual_fn: Callable, func_fn: Callable, state,
 
     if linear_solve is None:
         dW_neg, info = gmres(mat, b, restart=restart, rel_tol=rel_tol,
-                             max_iters=max_iters)
+                             max_iters=max_iters, precond=precond)
     else:
         dW_neg, info = linear_solve(mat, b)
     dW = jax.tree_util.tree_map(lambda a: -a, dW_neg)

@@ -114,7 +114,10 @@ def _wall_force(cfg, ctx):
         gradU_b = ctx["gradU_b"]  # (nb,3,3), grad[i,j]=dU_j/dx_i
         nu_b = ctx.get("nu_eff_b", 0.0)
         tau = gradU_b + jnp.swapaxes(gradU_b, -1, -2)
-        fv = -rho * nu_b[:, None] * jnp.einsum("fij,fi->fj", tau, geom.sf[ni:])
+        # rho may be a scalar (incompressible rho_ref) or a per-face
+        # field (compressible solvers) — combine before broadcasting
+        rnu = jnp.broadcast_to(jnp.asarray(rho * nu_b), tau.shape[:1])
+        fv = -rnu[:, None] * jnp.einsum("fij,fi->fj", tau, geom.sf[ni:])
     return (fp + fv) * mask[:, None]
 
 

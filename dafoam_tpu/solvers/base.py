@@ -235,11 +235,23 @@ class DASolverBase:
             lambda w, x: self.eval_function(func_name, w, x),
             state, inputs, psi)
 
+    def make_forward_pc(self, state, inputs):
+        """Override: PC for the FORWARD linearized system dR/dW (used by
+        forward_total_derivative); None = unpreconditioned."""
+        return None
+
     def forward_total_derivative(self, state, inputs, func_name, dx):
+        opt = self.option["adjEqnOption"]
+        precond = None
+        if opt.get("pcType", "none") != "none":
+            precond = self.make_forward_pc(state, inputs)
         return adjsolver.forward_total_derivative(
             lambda w, x: self._norm_residuals(w, x),
             lambda w, x: self.eval_function(func_name, w, x),
-            state, inputs, dx)
+            state, inputs, dx,
+            restart=opt.get("gmresRestart", 60),
+            max_iters=opt.get("gmresMaxIters", 2000),
+            precond=precond)
 
     # ------------------------------------------------------------------
     # jitted entry points (compile once per solver instance, reuse across

@@ -40,7 +40,7 @@ def make_hisa(uin):
         "solverName": "DAHisaFoam",
         "turbulenceModel": "None",
         "hisa": {"inviscid": True, "fluxScheme": "AUSMPlusUp",
-                 "cfl": 5.0, "cflMax": 1e4, "innerIters": 20},
+                 "cfl": 5.0, "cflMax": 1e4, "innerIters": 240},
         "transportProperties": {"R": R, "gamma": GAMMA},
         "boundaryConditions": {
             "U": {"xmin": {"type": "fixedValue", "value": [uin, 0.0, 0.0]},
@@ -68,7 +68,7 @@ def make_hisa(uin):
         },
         "adjEqnOption": {"gmresRelTol": 1e-10, "gmresRestart": 300,
                          "gmresMaxIters": 600, "gmresAbsTol": 1e-16,
-                         "pcType": "none"},
+                         "pcType": "blockJacobian", "pcInnerIters": 12},
         "normalizeStates": {"U": 240.0, "p": 1e5, "T": 300.0},
         "primalVarBounds": {"pMin": 1e3, "TMin": 50.0},
     }
@@ -112,14 +112,16 @@ def test_hisa_adjoint_vs_fd_and_forward(converged):
     dJ_fwd, _ = solver.forward_total_derivative(st, inputs, "CDp", dx)
     assert dJdU_in == pytest.approx(float(dJ_fwd), rel=1e-6)
 
-    # FD of the full pipeline
+    # FD of the full pipeline (perturb the inlet through `inputs` so the
+    # compiled primal is reused — inputs are traced arguments)
     h = 1e-3 * UIN
 
     def run(uin):
-        s2, i2 = make_hisa(uin)
-        st2, inf2 = s2.run_primal(s2.init_state(), i2)
+        i2 = jax.tree_util.tree_map(lambda x: x, inputs)
+        i2["bc"]["U"]["xmin"] = jnp.asarray([uin, 0.0, 0.0], solver.dtype)
+        st2, inf2 = solver.run_primal(solver.init_state(), i2)
         assert bool(inf2.converged)
-        return float(s2.run_function("CDp", st2, i2))
+        return float(solver.run_function("CDp", st2, i2))
 
     fd = (run(UIN + h) - run(UIN - h)) / (2 * h)
     assert dJdU_in == pytest.approx(fd, rel=2e-4)
