@@ -140,7 +140,16 @@ def matvec_fn(m: FvMatrix, topo):
     hi = int(max(0, offsets.max())) if offsets.size else 0
     d0 = m.diag
 
+    # TPU fast path: VMEM-resident Pallas banded matvec (one HBM read per
+    # operand instead of one per band — see ops/pallas_kernels.py)
+    from dafoam_tpu.ops import pallas_kernels as pk
+    offs_t = tuple(int(o) for o in offsets.tolist())
+    use_pallas = (d0.ndim == 1
+                  and pk.dia_matvec_supported(nc, len(offs_t), d0.dtype))
+
     def mv(x):
+        if use_pallas and x.ndim == 1 and x.dtype == d0.dtype:
+            return pk.dia_matvec(d0, coef, offs_t, x)
         d = d0 if d0.ndim == x.ndim else d0[..., None]
         y = d * x
         pad = [(lo, hi)] + [(0, 0)] * (x.ndim - 1)

@@ -152,12 +152,16 @@ class DARhoSimpleFoam(DASolverBase):
         return M, T_bco
 
     # -- pressure/flux projection ---------------------------------------------
-    def _projection(self, state, inputs, geom, UEqn, U_bco, U_pred):
+    def _projection(self, state, inputs, geom, UEqn, U_bco, U_pred,
+                    transonic=None, rho_override=None):
         topo = self.topo
         ni = topo.n_internal
+        if transonic is None:
+            transonic = self.transonic
         p, phi = state["p"], state["phi"]
         Cp, R, mu, Pr, Prt = self._thermo(inputs)
-        rho = self.rho_of(state, inputs)
+        rho = self.rho_of(state, inputs) if rho_override is None \
+            else rho_override
         p_bco = self._bco("p", p, inputs, geom, phi, 0)
 
         rAU = 1.0 / fvx.A(UEqn, geom)
@@ -180,7 +184,7 @@ class DARhoSimpleFoam(DASolverBase):
         rr_f = fvc.interpolate(geom, topo, rho_rAU, rr_b)
         lapM = fvm.laplacian(geom, topo, rr_f, p, p_bco)
 
-        if self.transonic:
+        if transonic:
             # transonic (reference DARhoSimpleCFoam): the mass flux is
             # linearized in p through rho_f = psi_f p_f:
             # pEqn = div(phid, p) - laplacian(rho rAU, p) = 0,
@@ -192,6 +196,14 @@ class DARhoSimpleFoam(DASolverBase):
             phid = psi_f * F
             divM = fvm.div(geom, topo, phid, p, p_bco, scheme="upwind")
             pM = divM - lapM   # matvec - source == div(phid,p) - lap(p)
+            # OpenFOAM rhoSimpleFoam transonic: "Relax the pressure
+            # equation to ensure diagonal-dominance" (pEqn.relax()) — the
+            # upwind div(phid, p) matrix is only weakly dominant and the
+            # unrelaxed solve destabilizes the outer loop
+            a_eq_p = self.option["relaxationFactors"]["equations"] \
+                .get("p", 1.0)
+            if a_eq_p < 1.0:
+                pM = fvx.relax(pM, p, a_eq_p, topo)
 
             def flux_fn(p_new, grad_p=None):
                 return fvm.div_flux(geom, topo, phid, p_new, p_bco) \
@@ -262,7 +274,16 @@ class DARhoSimpleFoam(DASolverBase):
         alpha_p = opt["relaxationFactors"]["fields"].get("p", 0.3)
         tol = opt["primalMinResTol"]
 
-        def one_iter(state):
+        # rho under-relaxation (OpenFOAM relaxationFactors fields rho):
+        # the canonical stabilizer for compressible SIMPLE above M ~ 0.3 —
+        # damps the rho(p,T) <-> mass-flux feedback.  1.0 = off.  Only the
+        # ITERATION path is damped; the converged state satisfies the
+        # unrelaxed residuals (rho_relaxed == rho there).
+        alpha_rho = opt["relaxationFactors"]["fields"].get("rho", 1.0)
+
+        def one_iter(state, rho_prev=None, transonic=None):
+            if transonic is None:
+                transonic = self.transonic
             U, p, T = state["U"], state["p"], state["T"]
             UEqn, U_bco = self._ueqn(state, inputs, geom)
             p_bco = self._bco("p", p, inputs, geom, state["phi"], 0)
@@ -287,12 +308,16 @@ class DARhoSimpleFoam(DASolverBase):
             T_new = self._bound("T", T_new)
             st = dict(st, T=T_new)
 
-            # pressure
+            # pressure (with relaxed density in the mass flux)
+            rho_raw = self.rho_of(st, inputs)
+            rho_used = rho_raw if rho_prev is None else \
+                rho_prev + alpha_rho * (rho_raw - rho_prev)
             rAU, rr_f, HbyA, phiHbyA, pM, p_bco2, flux_fn = self._projection(
-                st, inputs, geom, UEqn, U_bco, U_pred)
+                st, inputs, geom, UEqn, U_bco, U_pred, transonic=transonic,
+                rho_override=rho_used)
             res_p = fvsolve.initial_residual_norm(pM, p, topo)
             p_new, _ = fvsolve.solve(pM, p, topo,
-                                     symmetric=not self.transonic,
+                                     symmetric=not transonic,
                                      rel_tol=lin["pRelTol"],
                                      max_iters=lin["pMaxIters"])
             phi_new = flux_fn(p_new)
@@ -315,25 +340,32 @@ class DARhoSimpleFoam(DASolverBase):
                                        gradU=gradU,
                                        rel_tol=lin["turbRelTol"],
                                        max_iters=lin["turbMaxIters"])
-            return st, jnp.maximum(res_U, res_p)
+            return st, rho_used, jnp.maximum(res_U, res_p)
 
         def cond(c):
-            st, it, res = c
+            st, rho_c, it, res = c
             keep = jnp.logical_or(it < opt["primalMinIters"], res > tol)
             keep = jnp.logical_and(keep, it < opt["primalMaxIters"])
             return jnp.logical_and(keep, self.states_valid(st))
 
         def body(c):
-            st, it, res = c
-            st2, r2 = one_iter(st)
-            return st2, it + 1, r2
+            st, rho_c, it, res = c
+            st2, rho2, r2 = one_iter(st, rho_prev=rho_c)
+            return st2, rho2, it + 1, r2
 
-        st, it, res = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0),
+        state, rho0, it0 = self._pre_loop(state, inputs, one_iter)
+        st, _, it, res = jax.lax.while_loop(
+            cond, body, (state, rho0, jnp.asarray(0),
                          jnp.asarray(jnp.inf, self.dtype)))
         ok = self.states_valid(st)
-        return st, PrimalInfo(it, res, jnp.logical_and(res <= tol, ok),
+        return st, PrimalInfo(it + it0, res,
+                              jnp.logical_and(res <= tol, ok),
                               jnp.logical_not(ok))
+
+    def _pre_loop(self, state, inputs, one_iter):
+        """Hook for formulation sequencing before the main loop (the
+        transonic subclass warm-starts with the subsonic formulation)."""
+        return state, self.rho_of(state, inputs), jnp.asarray(0)
 
     # -- adjoint preconditioner --------------------------------------------
     def make_adjoint_pc(self, state, inputs):
@@ -392,8 +424,38 @@ def FvScale(m, a):
 
 
 class DARhoSimpleCFoam(DARhoSimpleFoam):
-    """Transonic SIMPLEC variant (reference DARhoSimpleCFoam)."""
+    """Transonic SIMPLEC variant (reference DARhoSimpleCFoam).
+
+    The psi-linearized implicit div(phid, p) pressure equation has no
+    upstream pressure anchor on a cold uniform start (measured: its exact
+    first-iterate solution reaches negative p) — the standard practice of
+    warm-starting transonic SIMPLE(C) from a subsonic solution is built in
+    as formulation sequencing: `transonicInit*` options run the subsonic
+    projection first, then the loop continues with the transonic one."""
     transonic = True
+
+    def _pre_loop(self, state, inputs, one_iter):
+        opt = self.option
+        init_tol = float(opt.get("transonicInitRelTol", 1e-2))
+        init_max = int(opt.get("transonicInitMaxIters", 500))
+        rho0 = self.rho_of(state, inputs)
+        if init_max <= 0:
+            return state, rho0, jnp.asarray(0)
+
+        def cond(c):
+            st, rho_c, it, res = c
+            keep = jnp.logical_and(res > init_tol, it < init_max)
+            return jnp.logical_and(keep, self.states_valid(st))
+
+        def body(c):
+            st, rho_c, it, res = c
+            st2, rho2, r2 = one_iter(st, rho_prev=rho_c, transonic=False)
+            return st2, rho2, it + 1, r2
+
+        st, rho_c, it, _ = jax.lax.while_loop(
+            cond, body, (state, rho0, jnp.asarray(0),
+                         jnp.asarray(jnp.inf, self.dtype)))
+        return st, rho_c, it
 
 
 class DATurboFoam(DARhoSimpleFoam):
