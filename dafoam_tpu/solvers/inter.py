@@ -176,7 +176,10 @@ class DAInterFoam(DAPimpleFoam):
         return alpha_new, alpha_phi
 
     # -- one time step ------------------------------------------------------
-    def _step(self, state_old, inputs, geom, state_oldold=None):
+    def _step(self, state_old, inputs, geom, state_oldold=None, t=None):
+        if t is not None:
+            # physical time for time-dependent (DAMisc parametric) BCs
+            inputs = {**inputs, "t": t}
         lin = self.option["primalLinearSolver"]
         topo = self.topo
         ni = topo.n_internal
@@ -256,6 +259,11 @@ class DAInterFoam(DAPimpleFoam):
 
     # -- residual -----------------------------------------------------------
     def residuals_unsteady(self, W, W_old, W_oldold, inputs, n=None):
+        if n is not None:
+            # physical time of step n (time-dependent BC parity with the
+            # primal scan, solvers/pimple.py residuals_unsteady)
+            inputs = {**inputs,
+                      "t": jnp.asarray(n, self.dtype) * self.dt}
         geom = self.geometry(inputs)
         topo = self.topo
         ni = topo.n_internal

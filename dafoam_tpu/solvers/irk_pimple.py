@@ -99,6 +99,11 @@ class DAIrkPimpleFoam(DAPimpleFoam):
     # residuals: both collocation rows in one vector
     # ------------------------------------------------------------------
     def residuals_unsteady(self, W, W_old, W_oldold, inputs, n=None):
+        if n is not None:
+            # physical time of step n (time-dependent BC parity with the
+            # primal scan, solvers/pimple.py residuals_unsteady)
+            inputs = {**inputs,
+                      "t": jnp.asarray(n, self.dtype) * self.dt}
         geom = self.geometry(inputs)
         topo = self.topo
         views = {1: self._stage_view(W, 1), 2: self._stage_view(W, 2)}
@@ -210,7 +215,10 @@ class DAIrkPimpleFoam(DAPimpleFoam):
                                     relax=1.0, dt=dt_eff, old=old_eff)
         return {**st, **{k + suf: Wst[k] for k in self._base_states}}
 
-    def _step(self, state_old, inputs, geom, state_oldold=None):
+    def _step(self, state_old, inputs, geom, state_oldold=None, t=None):
+        if t is not None:
+            # physical time for time-dependent (DAMisc parametric) BCs
+            inputs = {**inputs, "t": t}
         lin = self.option["primalLinearSolver"]
 
         def sweep(_, st):

@@ -32,3 +32,17 @@ if os.environ.get("DAFOAM_TPU_TEST_CACHE") == "1":
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU segfaults inside backend_compile after a few hundred
+    compiles accumulate in one long-lived process (observed twice at
+    ~110 tests into the suite, in different tests; each crashing test
+    passes standalone). Dropping live executables between modules keeps
+    the compiler state bounded; cross-module jit reuse is negligible
+    since each module builds its own solver instances."""
+    yield
+    jax.clear_caches()

@@ -83,7 +83,7 @@ def test_read_openfoam_ascii_fixture():
 def test_read_openfoam_binary_gz_fixture(tmp_path):
     """Same mesh re-emitted in OpenFOAM binary format (compact faceList:
     offsets + flat labels) with gzipped points, per the format spec —
-    exercises the binary/gz parse paths against independnetly constructed
+    exercises the binary/gz parse paths against independently constructed
     bytes, not write_polymesh output."""
     import gzip
 
