@@ -66,7 +66,10 @@ def plate():
                      "directionMode": "fixedDirection",
                      "direction": [1.0, 0.0, 0.0], "scale": 1.0},
         },
-        "adjEqnOption": {"gmresRelTol": 1e-10, "gmresRestart": 300,
+        # unrestarted GMRES: with restart 300 this stiff adjoint sits on
+        # the restart-stagnation edge (converges or stalls depending on
+        # sub-ulp compilation differences between runs)
+        "adjEqnOption": {"gmresRelTol": 1e-10, "gmresRestart": 3000,
                          "gmresMaxIters": 3000, "pcType": "segregated"},
         "normalizeStates": {"U": UIN, "p": 0.5, "phi": 1.0, "k": KIN,
                             "omega": WIN, "ReThetat": RET_IN,
