@@ -64,11 +64,13 @@ opts = {
     "function": {"CD": {"type": "force", "patches": ["wing"],
                         "directionMode": "fixedDirection",
                         "direction": [1.0, 0.0, 0.0], "scale": 1.0}},
-    # f32 cannot reach 1e-12 (FGMRES stalls at the dtype floor); use the
-    # tightest tolerance each precision can actually hit
-    "adjEqnOption": {"gmresRelTol": 1e-12 if %(x64)s else 3e-6,
+    # f32 cannot reach 1e-8 (FGMRES stalls at the dtype floor); use the
+    # tightest tolerance each precision can actually hit.  UNRESTARTED
+    # Krylov: restart cycles stagnate on this system (measured rel 5e-2
+    # at restart 200 even in f64)
+    "adjEqnOption": {"gmresRelTol": 1e-8 if %(x64)s else 3e-6,
                      "gmresAbsTol": 0.0,
-                     "gmresRestart": 200, "gmresMaxIters": 2000,
+                     "gmresRestart": 1200, "gmresMaxIters": 1200,
                      "pcType": "segregated", "pcInnerIters": 10},
     "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
                         "nuTilda": 3 * nu},
