@@ -71,9 +71,16 @@ def run_naca(nw, nr, iters):
     inputs = solver.make_inputs()
     st0 = solver.init_state()
 
+    def _mark(msg, _t0=[time.perf_counter()]):
+        # progress to stderr so a slow TPU-tunnel compile is visible
+        print(f"[bench +{time.perf_counter() - _t0[0]:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     # compile + run primal
+    _mark(f"compiling primal ({topo.n_cells} cells, {iters} iters)")
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
+    _mark("primal compiled; timing run")
     t0 = time.perf_counter()
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
@@ -89,8 +96,11 @@ def run_naca(nw, nr, iters):
         raise RuntimeError("non-finite objective after primal")
 
     # compile + run adjoint (fixed budget)
+    _mark(f"primal timed: {time.perf_counter() - t0:.2f}s; "
+          "compiling adjoint")
     psi, ai = solver.run_adjoint("CD", st, inputs)
     jax.block_until_ready(psi["p"])
+    _mark("adjoint compiled; timing run")
     t0 = time.perf_counter()
     psi, ai = solver.run_adjoint("CD", st, inputs)
     jax.block_until_ready(psi["p"])
