@@ -96,8 +96,7 @@ def run_naca(nw, nr, iters):
         raise RuntimeError("non-finite objective after primal")
 
     # compile + run adjoint (fixed budget)
-    _mark(f"primal timed: {time.perf_counter() - t0:.2f}s; "
-          "compiling adjoint")
+    _mark(f"primal timed: {t_primal:.2f}s; compiling adjoint")
     psi, ai = solver.run_adjoint("CD", st, inputs)
     jax.block_until_ready(psi["p"])
     _mark("adjoint compiled; timing run")

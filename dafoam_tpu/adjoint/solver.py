@@ -58,6 +58,11 @@ def adjoint_solve(residual_fn: Callable, state, inputs, dJdW,
         (g,) = f_vjp(psi)
         return _scale(g, state_scales)
 
+    # coupled preconditioners (adjoint/precond.make_coupled_pc) need the
+    # scaled operator itself for their inter-field Gauss-Seidel sweeps
+    if precond is not None and getattr(precond, "needs_opT", False):
+        precond = precond(matT)
+
     rhs = _scale(dJdW, state_scales)
     x0 = None if psi0 is None else _scale(psi0, res_scales)
     psi_scaled, info = gmres(matT, rhs, x0=x0, precond=precond,

@@ -255,16 +255,20 @@ class DAIrkPimpleFoam(DAPimpleFoam):
         return mats
 
     def _unsteady_pc_apply_fn(self, inputs):
-        from dafoam_tpu.adjoint.precond import make_block_pc
+        from dafoam_tpu.adjoint.precond import build_pc
 
         geom = self.geometry(inputs)
         scales = self.state_scales(geom)
-        iters = self.option["adjEqnOption"].get("pcInnerIters", 15)
+        opt = dict(self.option["adjEqnOption"])
+        if opt.get("pcType") == "coupledLine":
+            opt["pcType"] = "lineJacobi"   # no standing matT in the sweep
 
         def pc_apply(mats, r):
             matrices = {k: (m, k in ("p", "p1")) for k, m in mats.items()}
-            return make_block_pc(matrices, self.topo, geom,
-                                 state_scales=scales, iters=iters,
-                                 identity_fields=("phi", "phi1"))(r)
+            pc = build_pc(matrices, self.topo, geom, scales, opt,
+                          identity_fields=("phi", "phi1"))
+            if getattr(pc, "needs_opT", False):
+                pc = pc(None)   # sweeps==1: the operator is never used
+            return pc(r)
 
         return pc_apply

@@ -307,16 +307,23 @@ class DAPimpleFoam(DASimpleFoam):
         return mats
 
     def _unsteady_pc_apply_fn(self, inputs):
-        from dafoam_tpu.adjoint.precond import make_block_pc
+        from dafoam_tpu.adjoint.precond import build_pc
 
         geom = self.geometry(inputs)
         scales = self.state_scales(geom)
-        iters = self.option["adjEqnOption"].get("pcInnerIters", 15)
+        opt = dict(self.option["adjEqnOption"])
+        # the unsteady reverse sweep rebuilds the PC per checkpoint segment
+        # and has no standing matT closure: clamp the coupled variant to
+        # its block-diagonal line-implicit form
+        if opt.get("pcType") == "coupledLine":
+            opt["pcType"] = "lineJacobi"
 
         def pc_apply(mats, r):
             matrices = {k: (m, k == "p") for k, m in mats.items()}
-            return make_block_pc(matrices, self.topo, geom,
-                                 state_scales=scales, iters=iters)(r)
+            pc = build_pc(matrices, self.topo, geom, scales, opt)
+            if getattr(pc, "needs_opT", False):
+                pc = pc(None)   # sweeps==1: the operator is never used
+            return pc(r)
 
         return pc_apply
 

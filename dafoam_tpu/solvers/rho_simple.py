@@ -369,7 +369,7 @@ class DARhoSimpleFoam(DASolverBase):
 
     # -- adjoint preconditioner --------------------------------------------
     def make_adjoint_pc(self, state, inputs):
-        from dafoam_tpu.adjoint.precond import make_block_pc
+        from dafoam_tpu.adjoint.precond import build_pc
 
         geom = self.geometry(inputs)
         UEqn, U_bco = self._ueqn(state, inputs, geom, is_pc=True)
@@ -378,10 +378,8 @@ class DARhoSimpleFoam(DASolverBase):
         TEqn, _ = self._teqn(state, inputs, geom)
         mats = {"U": (UEqn, False), "p": (pM, not self.transonic),
                 "T": (TEqn, False)}
-        iters = self.option["adjEqnOption"].get("pcInnerIters", 15)
-        return make_block_pc(mats, self.topo, geom,
-                             state_scales=self.state_scales(geom),
-                             iters=iters)
+        return build_pc(mats, self.topo, geom, self.state_scales(geom),
+                        self.option["adjEqnOption"])
 
     # -- functions --------------------------------------------------------------
     def boundary_fields(self, state, inputs, geom):

@@ -539,7 +539,7 @@ class DASimpleFoam(DASolverBase):
     # adjoint preconditioner: reuse the segregated operators
     # ------------------------------------------------------------------
     def make_adjoint_pc(self, state, inputs):
-        from dafoam_tpu.adjoint.precond import make_block_pc
+        from dafoam_tpu.adjoint.precond import build_pc
 
         geom = self.geometry(inputs)
         UEqn, U_bco = self._ueqn(state, inputs, geom, is_pc=True)
@@ -551,10 +551,8 @@ class DASimpleFoam(DASolverBase):
             gradU = fvc.grad(geom, self.topo, state["U"], U_b)
             mats.update(self.turb.pc_matrices(state, inputs, geom,
                                               state["phi"], gradU))
-        iters = self.option["adjEqnOption"].get("pcInnerIters", 15)
-        return make_block_pc(mats, self.topo, geom,
-                             state_scales=self.state_scales(geom),
-                             iters=iters)
+        return build_pc(mats, self.topo, geom, self.state_scales(geom),
+                        self.option["adjEqnOption"])
 
     # ------------------------------------------------------------------
     # function context

@@ -192,6 +192,9 @@ def _load_golden():
 
 
 def _store_golden(name, values):
+    """Read-modify-write of the shared values.json. NOTE: regeneration
+    (DAFOAM_TPU_WRITE_GOLDEN=1) must run WITHOUT pytest-xdist (-n) —
+    concurrent writers would race and drop case entries."""
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     golden = _load_golden()
     golden[name] = values
@@ -215,7 +218,10 @@ def test_golden(name):
     assert set(ref) == set(values), (sorted(ref), sorted(values))
     for key, got in values.items():
         want = ref[key]
-        rel = REL_OBJ if ("_d" not in key) else REL_GRAD
+        # explicit convention: gradient signals are named d<F>_d<x>
+        # (startswith, not substring — an objective named e.g. "p_drop"
+        # must NOT inherit the 100x looser gradient tolerance)
+        rel = REL_GRAD if key.startswith("d") else REL_OBJ
         tol = rel * max(1.0, abs(want))
         assert abs(got - want) <= tol, (
             f"{name}.{key}: got {got!r}, golden {want!r} "

@@ -47,7 +47,8 @@ def test_dense_drdwt_matches_vjp(tmp_path):
     state, info = solver.solve_primal(solver.init_state(), inputs)
     assert bool(info.converged)
 
-    JT = dense_drdwt(solver, state, inputs)
+    JT_raw = dense_drdwt(solver, state, inputs, normalized=False)
+    JT = dense_drdwt(solver, state, inputs)   # default: the FGMRES operator
     n = JT.shape[0]
     assert JT.shape == (n, n)
 
@@ -66,7 +67,27 @@ def test_dense_drdwt_matches_vjp(tmp_path):
     w0 = layout.pack(state)
     _, f_vjp = jax.vjp(res_flat, w0)
     (jt_v,) = f_vjp(jnp.asarray(v, solver.dtype))
-    np.testing.assert_allclose(JT @ v, np.asarray(jt_v),
+    np.testing.assert_allclose(JT_raw @ v, np.asarray(jt_v),
+                               rtol=1e-10, atol=1e-12)
+
+    # the normalized dump must match the SCALED adjoint operator
+    # (adjoint_solve matT: D_W d(normres)/dW^T D_R^-1)
+    geom = solver.geometry(inputs)
+    scales = solver.state_scales(geom)
+    s_flat = layout.pack({k: jnp.broadcast_to(jnp.asarray(scales[k]),
+                                              state[k].shape)
+                          for k in layout.info.names()})
+
+    def nres_flat(w):
+        st = layout.unpack(w)
+        for k, val in state.items():
+            if k not in st:
+                st[k] = val
+        return layout.pack(solver._norm_residuals(st, inputs))
+
+    _, fn_vjp = jax.vjp(nres_flat, w0)
+    (jtn_v,) = fn_vjp(jnp.asarray(v, solver.dtype) / s_flat)
+    np.testing.assert_allclose(JT @ v, np.asarray(jtn_v * s_flat),
                                rtol=1e-10, atol=1e-12)
 
     # file dump round-trip with layout metadata
