@@ -72,6 +72,90 @@ def adjoint_solve(residual_fn: Callable, state, inputs, dJdW,
     return psi, info
 
 
+def adjoint_solve_fp(step_fn: Callable, state, inputs, dJdW,
+                     rel_tol=1e-6, abs_tol=1e-14, max_iters=1000,
+                     relax=1.0, accel="gmres", restart=60, psi0=None):
+    """Solver-level FIXED-POINT adjoint on the primal STEP MAP (reference
+    `adjEqnSolMethod: fixedPoint` -> runFPAdj block Gauss-Seidel,
+    /root/reference/src/adjoint/DASolver/DASimpleFoam/DASimpleFoam.C:189,
+    DATurbulenceModel.H:270-289 solveAdjointFP).
+
+    The reference sweeps the adjoint with the solver's own pseudo
+    equations — i.e. its smoother is exactly the primal's segregated
+    update operator. The TPU-native formulation takes that idea to its
+    fixed point: differentiate the WHOLE outer iteration w_{k+1} = G(w_k)
+    (inner solves are lax.custom_linear_solve, so dG is exact with
+    transposed inner solves) and solve
+
+        (I - dG/dW^T) psibar = dJ/dW.
+
+    Wherever the primal converges, rho(dG) < 1, so this system is
+    I-minus-contraction: Richardson converges at the primal's own rate
+    and GMRES (default) clusters on the disk |1-lambda| < rho — no
+    preconditioner needed at all. The residual-form adjoint follows as
+    psi = P^T psibar with P the primal's update operator; total
+    derivatives use psibar directly via  dJ/dx = pJ/px + psibar^T pG/px
+    (total_derivative_fp), which is algebraically identical to
+    pJ/px - psi^T pR/px.
+
+    step_fn: (W, inputs) -> (W_next, residual_norm); only W_next is used.
+    Returns (psibar, SolveInfo).
+    """
+    from dafoam_tpu.linalg.krylov import SolveInfo, gmres, tnorm
+
+    _, f_vjp = jax.vjp(lambda w: step_fn(w, inputs)[0], state)
+
+    def matv(v):
+        (g,) = f_vjp(v)
+        return jax.tree_util.tree_map(lambda a, b: a - b, v, g)
+
+    if accel == "gmres":
+        return gmres(matv, dJdW, x0=psi0, restart=restart,
+                     rel_tol=rel_tol, abs_tol=abs_tol, max_iters=max_iters)
+
+    # Richardson (reference-parity plain sweeps):
+    #   psibar <- psibar + relax * (dJdW - (I - dG^T) psibar)
+    rhs = dJdW
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, rhs) if psi0 is None \
+        else psi0
+    bnorm = tnorm(rhs)
+    tol = jnp.maximum(rel_tol * bnorm, abs_tol)
+    relax = jnp.asarray(relax, bnorm.dtype)
+
+    def resid(x):
+        return jax.tree_util.tree_map(lambda b, ax: b - ax, rhs, matv(x))
+
+    r0_tree = resid(x0)
+    r0 = tnorm(r0_tree)
+
+    def cond(c):
+        x, r, rn, it = c
+        ok = jnp.isfinite(rn)
+        return jnp.logical_and(it < max_iters,
+                               jnp.logical_and(ok, rn > tol))
+
+    def body(c):
+        x, r, rn, it = c
+        x = jax.tree_util.tree_map(lambda xi, ri: xi + relax * ri, x, r)
+        r = resid(x)
+        return x, r, tnorm(r), it + 1
+
+    x, r, rn, it = jax.lax.while_loop(
+        cond, body, (x0, r0_tree, r0, jnp.asarray(0)))
+    return x, SolveInfo(it, r0, rn, rn <= tol)
+
+
+def total_derivative_fp(step_fn: Callable, func_fn: Callable, state,
+                        inputs, psibar):
+    """Fixed-point-mode totals: dJ/dx = pJ/px + psibar^T pG/px for every
+    leaf of ``inputs`` (the step-map analogue of ``total_derivative``;
+    see adjoint_solve_fp)."""
+    pJpx = jax.grad(lambda x: func_fn(state, x))(inputs)
+    _, fx_vjp = jax.vjp(lambda x: step_fn(state, x)[0], inputs)
+    (gx,) = fx_vjp(psibar)
+    return jax.tree_util.tree_map(lambda a, b: a + b, pJpx, gx)
+
+
 def total_derivative(residual_fn: Callable, func_fn: Callable, state, inputs,
                      psi):
     """dJ/dx = pJ/px - psi^T pR/px  for every leaf of ``inputs``.

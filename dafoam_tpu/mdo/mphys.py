@@ -207,6 +207,31 @@ class DAFoamSolver(om.ImplicitComponent):
 
         return f
 
+    def _write_failed_mesh(self, tree, state=None, report=None):
+        """writeFailedMesh analog (reference DASolver.C:3534): when the
+        mesh gate or the primal fails and writeMinorIterations is on, dump
+        the failing volume mesh (and states, when available) to
+        failedMesh.vtk for post-mortem in ParaView. The reference renames
+        the dump to time 10000; here the artifact name marks it."""
+        if not self.solver.option.get("writeMinorIterations", False):
+            return
+        import numpy as np
+
+        from dafoam_tpu.utils.vtkio import write_volume_vtk
+
+        cell_data = {}
+        if state is not None:
+            for k, v in state.items():
+                a = np.asarray(v)
+                if a.shape[0] == self.solver.topo.n_cells:
+                    cell_data[k] = a
+        try:
+            write_volume_vtk("failedMesh.vtk", np.asarray(tree["points"]),
+                             self.solver.topo, cell_data or None)
+            print("wrote failedMesh.vtk", report or "")
+        except Exception as e:  # never mask the AnalysisError
+            print(f"writeFailedMesh failed: {e}")
+
     # -- nonlinear ------------------------------------------------------
     def solve_nonlinear(self, inputs, outputs):
         import jax.numpy as jnp
@@ -220,6 +245,7 @@ class DAFoamSolver(om.ImplicitComponent):
             solver.geometry(tree), solver.topo,
             solver.option.get("checkMeshThreshold", {}) or {})
         if not ok:
+            self._write_failed_mesh(tree, report=_report)
             raise om.AnalysisError("Mesh quality error!")
         st0 = self._state if self._state is not None else solver.init_state()
         state, info = solver.run_primal(st0, tree)
@@ -227,6 +253,7 @@ class DAFoamSolver(om.ImplicitComponent):
             # restart from scratch once (reference resetStateVals analog)
             state, info = solver.run_primal(solver.init_state(), tree)
         if bool(info.failed):
+            self._write_failed_mesh(tree, state=state)
             raise om.AnalysisError("dafoam_tpu primal failed")
         self._state = state
         outputs[self.stateName] = np.asarray(solver.layout.pack(state))

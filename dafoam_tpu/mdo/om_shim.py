@@ -276,6 +276,17 @@ class Problem:
         else:
             self._in_values[(path, var)] = v.copy()
 
+    def get_val(self, name, **kwargs):
+        return self[name]
+
+    def set_val(self, name, val, indices=None, **kwargs):
+        if indices is None:
+            self[name] = val
+            return
+        cur = np.array(self[name], dtype=float)
+        cur[indices] = val
+        self[name] = cur
+
     # -- execution -------------------------------------------------------
     def _gather_inputs(self, path, comp):
         vec = _Vec(comp._in_meta.keys())

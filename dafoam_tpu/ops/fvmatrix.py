@@ -96,8 +96,21 @@ def offdiag_matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
                          topo)
 
 
+def _active_halo(topo):
+    """Explicit shard_map+ppermute halo path, when the topology was opted
+    in via parallel.shard.shard_solver (multi-chip production route)."""
+    try:
+        from dafoam_tpu.parallel import halo as _halo
+        return _halo.active(topo)
+    except Exception:
+        return None
+
+
 def matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
     """Volume-integrated A @ psi."""
+    hm = _active_halo(topo)
+    if hm is not None:
+        return hm(m.diag, m.lower, m.upper, psi)
     d = m.diag if m.diag.ndim == psi.ndim else m.diag[..., None]
     return d * psi + offdiag_matvec(m, psi, topo)
 
@@ -111,6 +124,11 @@ def matvec_fn(m: FvMatrix, topo):
     slices and multiplies only, the TPU-optimal SpMV. Falls back to the
     ELL gather form otherwise.
     """
+    hm = _active_halo(topo)
+    if hm is not None:
+        # multi-chip route: every Krylov inner iteration is one shard_map
+        # halo matvec (comm = ppermutes proportional to the partition cut)
+        return lambda x: hm(m.diag, m.lower, m.upper, x)
     dia = topo.dia()
     if dia is None:
         return lambda x: matvec(m, x, topo)

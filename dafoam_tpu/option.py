@@ -20,6 +20,13 @@ _DEFAULTS: dict[str, Any] = {
     "primalMinIters": 1,
     "primalMaxIters": 10000,
     "useAD": {"mode": "reverse", "dvName": "None", "seedIndex": -9999},
+    # step-averaged states for LCO-ish primals (reference pyDAFoam.py:486
+    # useMeanStates + DASolver::meanStatesToStates, DASolver.C:4210). The
+    # running mean is accumulated inside the primal while_loop over the
+    # last meanStateStart fraction of iterations; phi keeps its final
+    # value (the reference averages vol*/model states only).
+    "useMeanStates": False,
+    "meanStateStart": 0.5,
     # ---- physics ---------------------------------------------------------
     "transportProperties": {"nu": 1.5e-5, "DT": 4.0e-5, "Pr": 0.7, "Prt": 0.85},
     "turbulenceModel": "None",  # None | SpalartAllmaras | kOmegaSST | ...
@@ -52,9 +59,22 @@ _DEFAULTS: dict[str, Any] = {
         "jacMatReOrdering": "rcm", "gmresMaxIters": 2000,
         "gmresRestart": 300, "gmresRelTol": 1.0e-6, "gmresAbsTol": 1.0e-14,
         "gmresTolDiff": 1.0e2, "useNonZeroInitGuess": False,
-        # none | segregated (block PC from the per-equation operators)
+        # none | segregated (block PC, inner Krylov sweeps) | lineJacobi
+        # (exact per-field line-implicit solves) | coupledLine (line
+        # solves + block-GS sweeps through the full transposed Jacobian)
         "pcType": "segregated",
         "pcInnerIters": 15,
+        "pcADISweeps": 1,
+        "pcCoupledSweeps": 2,
+        # fixedPoint mode controls (reference pyDAFoam.py:540-543);
+        # fpAcceleration "gmres" solves (I - dG^T) psibar = dJdW with
+        # FGMRES (fast), "richardson" does plain sweeps (reference-parity
+        # runFPAdj behaviour, converges at the primal's own rate)
+        "fpMaxIters": 1000,
+        "fpRelTol": 1e-6,
+        "fpRelaxation": 1.0,
+        "fpMinResTolDiff": 1.0e2,
+        "fpAcceleration": "gmres",
         "dynAdjustTol": True,
     },
     "adjPCLag": 10000,
@@ -132,7 +152,10 @@ class DAOption:
     """Validated option store. ``opt["a.b.c"]`` digs into nested dicts."""
 
     def __init__(self, options: dict | None = None):
-        self._opts = _merge(_DEFAULTS, options or {})
+        # deepcopy the defaults: _merge shallow-copies untouched branches,
+        # and a later option.set("a.b", v) on one instance must never
+        # mutate the module-level _DEFAULTS shared by every solver
+        self._opts = _merge(copy.deepcopy(_DEFAULTS), options or {})
 
     def __getitem__(self, key: str) -> Any:
         node: Any = self._opts

@@ -235,8 +235,13 @@ class HaloMatvec:
                 perm = [(q, q + d) for q in range(0, Pn - d)]
                 cbufs.append(jax.lax.ppermute(lo_l[fidx], ax, perm))
             coeff = jnp.concatenate([up_l, lo_l] + cbufs)
-            contrib = coeff[src] * ext[col] * valid.astype(x_l.dtype)
-            y = d_l * x_l + jax.ops.segment_sum(contrib, row,
+            w = coeff[src] * valid.astype(x_l.dtype)
+            xv = ext[col]
+            if xv.ndim > 1:                      # (nc,3) vector fields
+                w = w.reshape(w.shape + (1,) * (xv.ndim - 1))
+            if d_l.ndim < x_l.ndim:
+                d_l = d_l[..., None]
+            y = d_l * x_l + jax.ops.segment_sum(w * xv, row,
                                                 num_segments=ncl)
             return y[None]
 
@@ -247,8 +252,11 @@ class HaloMatvec:
         def mv(diag, lower, upper, x):
             lo2 = lower[self._face_pack]
             up2 = upper[self._face_pack]
-            return sm(x.reshape(Pn, ncl), diag.reshape(Pn, ncl), lo2, up2,
-                      *self._tables, *self._sends).reshape(-1)
+            extra = x.shape[1:]
+            dshape = (Pn, ncl) + diag.shape[1:]
+            return sm(x.reshape((Pn, ncl) + extra), diag.reshape(dshape),
+                      lo2, up2, *self._tables,
+                      *self._sends).reshape((Pn * ncl,) + extra)
 
         return jax.jit(mv)
 
@@ -256,3 +264,37 @@ class HaloMatvec:
         if self._fn is None:
             self._fn = self._build()
         return self._fn(diag, lower, upper, x)
+
+
+# ---------------------------------------------------------------------------
+# Activation registry: solvers opt a topology into the explicit-halo path
+# (parallel.shard.shard_solver). While active, ops.fvmatrix.matvec_fn/
+# matvec route EVERY LDU product — primal smoother iterations, the
+# custom_linear_solve transposes, the adjoint FGMRES products — through
+# HaloMatvec, so solve-phase communication is explicit ppermutes
+# proportional to the partition cut (reference: processor-patch exchanges
+# inside every fvMatrix solve; DAJacCon.H:100-109 cross-proc coupling).
+# ---------------------------------------------------------------------------
+
+import weakref
+
+_ACTIVE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def activate(topo, mesh: Mesh, axis: str = "mesh") -> "HaloMatvec":
+    hm = _ACTIVE.get(topo)
+    if hm is None or hm.mesh is not mesh:
+        hm = HaloMatvec(topo, mesh, axis)
+        _ACTIVE[topo] = hm
+    return hm
+
+
+def active(topo):
+    try:
+        return _ACTIVE.get(topo)
+    except TypeError:  # unhashable/weakref-less stand-ins
+        return None
+
+
+def deactivate(topo):
+    _ACTIVE.pop(topo, None)

@@ -16,7 +16,9 @@ UOrth, KoU2.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +144,63 @@ def radial_basis_function(theta, features, n_rbf, out_shift=1.0):
     return phi @ a + out_shift
 
 
+# ---------------------------------------------------------------------------
+# External user-model bridge (reference DARegression externalTensorFlow:
+# DARegression.H betaCompute/betaJacVecProd callbacks registered through
+# DAUtility.H:117-124 pyCalcBeta* function pointers). TPU-native analog:
+# the host callable runs under jax.pure_callback and its reverse product
+# under a custom_vjp, so an external framework (TF/torch/sklearn/...)
+# participates in the jitted primal AND the adjoint.
+# ---------------------------------------------------------------------------
+
+_EXTERNAL_MODELS: dict = {}
+
+
+def register_external_model(name: str, compute, vjp):
+    """Register a host-side model.
+
+    compute(theta, features) -> beta        (numpy arrays, shapes
+                                             (P,), (nc,F) -> (nc,))
+    vjp(theta, features, beta_bar) -> (theta_bar, features_bar)
+        the reverse product the external framework computes
+        (reference betaJacVecProd, DARegression.H:233-247).
+    """
+    _EXTERNAL_MODELS[name] = (compute, vjp)
+
+
+def external_model(name, theta, features):
+    """beta = f_ext(theta, features) with exact external adjoint."""
+    compute, vjp = _EXTERNAL_MODELS[name]
+    nc = features.shape[0]
+    beta_shape = jax.ShapeDtypeStruct((nc,), features.dtype)
+
+    @jax.custom_vjp
+    def f(th, fe):
+        return jax.pure_callback(
+            lambda t, x: np.asarray(compute(np.asarray(t), np.asarray(x)),
+                                    dtype=x.dtype).reshape(nc),
+            beta_shape, th, fe, vmap_method="sequential")
+
+    def fwd(th, fe):
+        return f(th, fe), (th, fe)
+
+    def bwd(res, bar):
+        th, fe = res
+
+        def host(t, x, b):
+            tb, xb = vjp(np.asarray(t), np.asarray(x), np.asarray(b))
+            return (np.asarray(tb, dtype=t.dtype).reshape(t.shape),
+                    np.asarray(xb, dtype=x.dtype).reshape(x.shape))
+
+        out_shapes = (jax.ShapeDtypeStruct(th.shape, th.dtype),
+                      jax.ShapeDtypeStruct(fe.shape, fe.dtype))
+        return jax.pure_callback(host, out_shapes, th, fe, bar,
+                                 vmap_method="sequential")
+
+    f.defvjp(fwd, bwd)
+    return f(theta, features)
+
+
 def evaluate(cfg: dict, theta, feature_ctx):
     """Dispatch one regression model config -> beta field (nc,)."""
     feats = compute_features(cfg["inputNames"], feature_ctx)
@@ -157,6 +216,11 @@ def evaluate(cfg: dict, theta, feature_ctx):
     elif mtype == "radialBasisFunction":
         beta = radial_basis_function(theta, feats, cfg["nRBFs"],
                                      cfg.get("outputShift", 1.0))
+    elif mtype in ("externalModel", "externalTensorFlow"):
+        # reference externalTensorFlow (DARegression.H betaCompute /
+        # betaJacVecProd); any host framework registered via
+        # register_external_model works
+        beta = external_model(cfg["externalModelName"], theta, feats)
     else:
         raise NotImplementedError(mtype)
     lo = cfg.get("outputLowerBound", -1e16)

@@ -213,6 +213,19 @@ class DASolverBase:
         if precond is None and opt.get("pcType", "none") != "none":
             precond = self.make_adjoint_pc(state, inputs)
         res_fn = lambda w, x: self._norm_residuals(w, x)  # noqa: E731
+        if self._fp_adjoint():
+            # reference runFPAdj (DASimpleFoam.C:189): adjoint of the
+            # primal step map (see adjoint_solve_fp). NOTE: in this mode
+            # the returned vector is psibar (step-map convention); pair
+            # it with total_derivative, which dispatches accordingly.
+            return adjsolver.adjoint_solve_fp(
+                lambda w, x: self.primal_step(w, x), state, inputs, dJdW,
+                rel_tol=opt.get("fpRelTol", 1e-6),
+                abs_tol=opt["gmresAbsTol"],
+                max_iters=opt.get("fpMaxIters", 1000),
+                relax=opt.get("fpRelaxation", 1.0),
+                accel=opt.get("fpAcceleration", "gmres"),
+                restart=opt["gmresRestart"], psi0=psi0)
         psi, info = adjsolver.adjoint_solve(
             res_fn, state, inputs, dJdW,
             state_scales=scales, res_scales=scales,
@@ -229,7 +242,25 @@ class DASolverBase:
         return self.solve_adjoint_rhs(state, inputs, dJdW, psi0=psi0,
                                       precond=precond)
 
+    def _fp_adjoint(self) -> bool:
+        """True when the solver-level fixed-point adjoint is selected AND
+        this solver exposes the differentiable step map it needs."""
+        if self.option["adjEqnSolMethod"] != "fixedPoint":
+            return False
+        if not hasattr(self, "primal_step"):
+            raise NotImplementedError(
+                f"{type(self).__name__} has no primal_step; "
+                "adjEqnSolMethod fixedPoint is unavailable "
+                "(reference parity: runFPAdj exists only for select "
+                "solvers, DASimpleFoam.C:189)")
+        return True
+
     def total_derivative(self, state, inputs, func_name, psi):
+        if self._fp_adjoint():
+            return adjsolver.total_derivative_fp(
+                lambda w, x: self.primal_step(w, x),
+                lambda w, x: self.eval_function(func_name, w, x),
+                state, inputs, psi)
         return adjsolver.total_derivative(
             lambda w, x: self._norm_residuals(w, x),
             lambda w, x: self.eval_function(func_name, w, x),

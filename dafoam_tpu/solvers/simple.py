@@ -351,15 +351,19 @@ class DASimpleFoam(DASolverBase):
         return jnp.clip(v, lo if lo is not None else -jnp.inf,
                         hi if hi is not None else jnp.inf)
 
-    def solve_primal(self, state, inputs):
-        geom = self.geometry(inputs)
+    def primal_step(self, state, inputs, geom=None):
+        """ONE outer SIMPLE iteration: the fixed-point map G with
+        w_{k+1} = G(w_k). Reverse-differentiable end-to-end (inner solves
+        are lax.custom_linear_solve), which is what the solver-level
+        fixed-point adjoint differentiates (reference runFPAdj,
+        DASimpleFoam.C:189). Returns (new_state, max_normalized_residual).
+        """
+        if geom is None:
+            geom = self.geometry(inputs)
         topo = self.topo
         opt = self.option
         lin = opt["primalLinearSolver"]
         alpha_p = opt["relaxationFactors"]["fields"].get("p", 0.3)
-        tol = opt["primalMinResTol"]
-        max_it = opt["primalMaxIters"]
-        min_it = opt["primalMinIters"]
 
         def one_iter(state):
             U, p, phi = state["U"], state["p"], state["phi"]
@@ -420,6 +424,44 @@ class DASimpleFoam(DASolverBase):
 
             return new_state, jnp.maximum(res_U, res_p)
 
+        return one_iter(state)
+
+    def solve_primal(self, state, inputs):
+        geom = self.geometry(inputs)
+        opt = self.option
+        tol = opt["primalMinResTol"]
+        max_it = opt["primalMaxIters"]
+        min_it = opt["primalMinIters"]
+
+        def one_iter(st):
+            return self.primal_step(st, inputs, geom)
+
+        # step-averaged states (reference useMeanStates, pyDAFoam.py:486;
+        # DASolver::meanStatesToStates, DASolver.C:4210): running mean of
+        # the vol/model states over the last (1-meanStateStart) fraction
+        # of the iteration budget, substituted for the final state at
+        # exit. phi keeps its final value (the reference averages
+        # volVector/volScalar/model states only).
+        use_mean = bool(opt["useMeanStates"])
+        start_it = int(float(opt.get("meanStateStart", 0.5)) * int(max_it))
+
+        def _mean_update(mean, st2, it):
+            # it: 0-based index of the iteration just completed
+            cnt = jnp.maximum(it + 1 - start_it, 1).astype(self.dtype)
+            take = it >= start_it
+            return {k: (jnp.where(take, m + (st2[k] - m) / cnt, m)
+                        if k != "phi" else m)
+                    for k, m in mean.items()}
+
+        def _mean_final(st, mean, it):
+            if not use_mean:
+                return st
+            have = it > start_it
+            return {k: (jnp.where(have, mean[k], st[k])
+                        if k != "phi" else st[k]) for k in st}
+
+        mean0 = jax.tree_util.tree_map(jnp.zeros_like, state)
+
         # trailing-window function std/slope convergence (reference
         # DASolver::loop + calcFuncStd/calcFuncSlope, DASolver.C:156-316)
         fscfg = opt["primalFuncStdTol"]
@@ -437,25 +479,28 @@ class DASimpleFoam(DASolverBase):
 
         if not track:
             def cond(c):
-                st, it, res = c
+                st, mean, it, res = c
                 keep = jnp.logical_or(it < min_it, res > tol)
                 keep = jnp.logical_and(keep, it < max_it)
                 return jnp.logical_and(keep, self.states_valid(st))
 
             def body(c):
-                st, it, res = c
+                st, mean, it, res = c
                 st2, res2 = one_iter(st)
+                if use_mean:
+                    mean = _mean_update(mean, st2, it)
                 if do_print:
                     jax.lax.cond(
                         (it + 1) % print_int == 0,
                         lambda: jax.debug.print(
                             "iter {i}: maxRes = {r:.6e}", i=it + 1, r=res2),
                         lambda: None)
-                return st2, it + 1, res2
+                return st2, mean, it + 1, res2
 
-            st, it, res = jax.lax.while_loop(
-                cond, body, (state, jnp.asarray(0),
+            st, mean, it, res = jax.lax.while_loop(
+                cond, body, (state, mean0, jnp.asarray(0),
                              jnp.asarray(jnp.inf, self.dtype)))
+            st = _mean_final(st, mean, it)
             ok = self.states_valid(st)
             # checkPrimalFailure parity (reference DASolver.C:2721): fail
             # when achieved residual misses primalMinResTol*TolDiff
@@ -496,7 +541,7 @@ class DASimpleFoam(DASolverBase):
             return std, jnp.abs(slope)
 
         def cond(c):
-            st, it, res, fvals, fstd, fslope = c
+            st, mean, it, res, fvals, fstd, fslope = c
             func_conv = jnp.logical_and(fstd < std_tol, fslope < slope_tol)
             conv = jnp.logical_or(res <= tol, func_conv)
             keep = jnp.logical_or(it < min_it, jnp.logical_not(conv))
@@ -504,8 +549,10 @@ class DASimpleFoam(DASolverBase):
             return jnp.logical_and(keep, self.states_valid(st))
 
         def body(c):
-            st, it, res, fvals, fstd, fslope = c
+            st, mean, it, res, fvals, fstd, fslope = c
             st2, res2 = one_iter(st)
+            if use_mean:
+                mean = _mean_update(mean, st2, it)
             stds, slopes = [], []
             for j, name in enumerate(func_names):
                 v = self.eval_function(name, st2, inputs)
@@ -523,12 +570,13 @@ class DASimpleFoam(DASolverBase):
                         "funcSlope={sl:.6e}", i=it + 1, r=res2, s=fstd2,
                         sl=fslope2),
                     lambda: None)
-            return st2, it + 1, res2, fvals, fstd2, fslope2
+            return st2, mean, it + 1, res2, fvals, fstd2, fslope2
 
         fvals0 = jnp.zeros((len(func_names), int(max_it)), self.dtype)
-        st, it, res, fvals, fstd, fslope = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0),
+        st, mean, it, res, fvals, fstd, fslope = jax.lax.while_loop(
+            cond, body, (state, mean0, jnp.asarray(0),
                          jnp.asarray(jnp.inf, self.dtype), fvals0, big, big))
+        st = _mean_final(st, mean, it)
         ok = self.states_valid(st)
         func_conv = jnp.logical_and(fstd < std_tol, fslope < slope_tol)
         conv = jnp.logical_and(jnp.logical_or(res <= tol, func_conv), ok)
