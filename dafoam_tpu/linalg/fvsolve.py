@@ -8,10 +8,13 @@ CG, asymmetric (momentum/turbulence) to BiCGStab.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
-from dafoam_tpu.linalg.krylov import SolveInfo, bicgstab, cg
+from dafoam_tpu.linalg.krylov import (SolveInfo, bicgstab, bicgstab_steps,
+                                      cg, cg_steps)
 from dafoam_tpu.ops.fvmatrix import FvMatrix, matvec
 
 
@@ -20,6 +23,24 @@ def _diag_like(m: FvMatrix, psi):
     if d.ndim != psi.ndim:
         d = d[..., None] if d.ndim < psi.ndim else d
     return d
+
+
+# Trace-scoped switch: inside fixed_inner(), every fvsolve.solve — in the
+# solver's own step AND inside turbulence-model correct()s — dispatches to
+# solve_fixed with n_iters = scale * max_iters. The fixed-point adjoint
+# wraps the step map in this context so the whole map is cheap, smooth,
+# and exactly reverse-differentiable (see solve_fixed). Matching the
+# primal's own max_iters (scale=1) preserves the primal's contraction.
+_FIXED_INNER: list = []
+
+
+@contextlib.contextmanager
+def fixed_inner(scale: float = 1.0):
+    _FIXED_INNER.append(float(scale))
+    try:
+        yield
+    finally:
+        _FIXED_INNER.pop()
 
 
 def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
@@ -43,6 +64,13 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
     gradient error). Defaults: trans_rel_tol = min(rel_tol, 1e-10),
     trans_max_iters = max(max_iters, 1000).
     """
+    if _FIXED_INNER:
+        n = max(1, int(round(_FIXED_INNER[-1] * max_iters)))
+        x = solve_fixed(m, psi0, topo, symmetric=symmetric, n_iters=n,
+                        rhs=rhs)
+        zero = jnp.zeros((), x.dtype)
+        return x, SolveInfo(jnp.asarray(n), zero, zero, jnp.asarray(True))
+
     b = m.source if rhs is None else m.source + rhs
     d = _diag_like(m, psi0)
     td = jnp.finfo(d.dtype).tiny
@@ -82,6 +110,36 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
     # residual here would cost one extra matvec per inner solve)
     zero = jnp.zeros((), x.dtype)
     return x, SolveInfo(jnp.asarray(-1), zero, zero, jnp.asarray(True))
+
+
+def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
+                rhs=None):
+    """FIXED-ITERATION approximate solve (lax.scan; no custom_linear_solve,
+    no convergence exit) — the smoother variant of ``solve`` used by the
+    fixed-point adjoint's step map.
+
+    Plain reverse AD through the scan is the EXACT transpose of the map
+    actually computed, at ~2x forward cost — no tight implicit-function
+    transpose solves needed. At a converged primal any smooth approximate
+    inverse C gives exact totals (the dC*R terms carry a factor R ~ 0),
+    so the fixed-point adjoint built on this step map matches the Krylov
+    adjoint to solver tolerance while each (I - dG^T) product costs only
+    a few smoother sweeps. Static trip counts also compile to tight,
+    pipelined TPU loops (no while_loop divergence).
+    """
+    b = m.source if rhs is None else m.source + rhs
+    d = _diag_like(m, psi0)
+    td = jnp.finfo(d.dtype).tiny
+    dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
+
+    from dafoam_tpu.ops.fvmatrix import matvec_fn
+    mv = matvec_fn(m, topo)
+
+    def prec(r):
+        return dinv * r
+
+    stepper = cg_steps if symmetric else bicgstab_steps
+    return stepper(mv, b, x0=psi0, precond=prec, n_steps=int(n_iters))
 
 
 def initial_residual_norm(m: FvMatrix, psi, topo, rhs=None):

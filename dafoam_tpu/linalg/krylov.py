@@ -202,6 +202,110 @@ def bicgstab(matvec: Callable, b, x0=None, precond: Callable | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Fixed-step variants (lax.scan): REVERSE-DIFFERENTIABLE approximate solves
+# ---------------------------------------------------------------------------
+#
+# Why these exist: the solver-level fixed-point adjoint differentiates the
+# primal step map G(W) = W - C(W) R(W). At a converged primal (R ~ 0) ANY
+# smooth approximate-solve operator C yields EXACT totals — the dC*R terms
+# vanish — provided the vjp differentiates the map actually computed. A
+# tolerance-based while_loop solver is not reverse-differentiable, and
+# lax.custom_linear_solve substitutes the implicit-function transpose
+# (an exact M^-T), which is only consistent if the forward solve is also
+# (near-)exact — tight transpose solves cost ~1000 inner iterations per
+# outer step-vjp. A FIXED number of scan steps is (a) smooth, (b) exactly
+# differentiated by plain AD at ~2x forward cost, (c) a static trip count
+# XLA unrolls/pipelines well on TPU. This is the TPU-native realization of
+# the reference's runFPAdj philosophy (DATurbulenceModel.H:270-289): the
+# adjoint's inner operator IS the primal's own smoother, transposed by AD.
+
+def cg_steps(matvec: Callable, b, x0=None, precond: Callable | None = None,
+             n_steps=20):
+    """n_steps of preconditioned CG via lax.scan (no convergence exit).
+    Guarded divisions keep the map smooth near breakdown."""
+    precond = precond or _identity
+    x = tzeros_like(b) if x0 is None else x0
+    r = _tmap(lambda bi, ax: bi - ax, b, matvec(x))
+    z = precond(r)
+    rz = tdot(r, z)
+    # freeze threshold: once |rz| drops below (8 eps)^2 of its initial
+    # value the iteration is at working precision — further steps would
+    # amplify rounding noise through the guarded divisions (alpha with
+    # rz, pap both ~0), corrupting both the value AND its AD transpose.
+    # Masked freeze keeps the map smooth where it matters and makes the
+    # extra steps exact identities (zero derivative contribution).
+    eps = jnp.finfo(jnp.result_type(
+        *jax.tree_util.tree_leaves(b))).eps
+    cutoff = (8.0 * eps) ** 2 * jnp.abs(jax.lax.stop_gradient(rz))
+
+    def step(c, _):
+        x, r, z, p, rz = c
+        live = jnp.abs(jax.lax.stop_gradient(rz)) > cutoff
+        ap = matvec(p)
+        pap = tdot(p, ap)
+        tp = _tiny(pap)
+        alpha = jnp.where(live, rz / jnp.where(jnp.abs(pap) > tp, pap, tp),
+                          0.0)
+        x = taxpy(alpha, p, x)
+        r = taxpy(-alpha, ap, r)
+        z = precond(r)
+        rz_new = tdot(r, z)
+        beta = jnp.where(live,
+                         rz_new / jnp.where(jnp.abs(rz) > tp, rz, tp), 0.0)
+        p = taxpy(beta, p, z)
+        return (x, r, z, p, rz_new), None
+
+    (x, r, *_), _ = jax.lax.scan(step, (x, r, z, z, rz), None,
+                                 length=int(n_steps))
+    return x
+
+
+def bicgstab_steps(matvec: Callable, b, x0=None,
+                   precond: Callable | None = None, n_steps=10):
+    """n_steps of preconditioned BiCGStab via lax.scan (no restarts, no
+    convergence exit; guarded divisions)."""
+    precond = precond or _identity
+    x = tzeros_like(b) if x0 is None else x0
+    r = _tmap(lambda bi, ax: bi - ax, b, matvec(x))
+    rhat = r
+    one = jnp.asarray(1.0, jnp.result_type(*jax.tree_util.tree_leaves(b)))
+    zero_t = tzeros_like(b)
+    # freeze once converged to working precision (see cg_steps)
+    eps = jnp.finfo(one.dtype).eps
+    rr0 = jax.lax.stop_gradient(tdot(r, r))
+    cutoff = (8.0 * eps) ** 2 * rr0
+
+    def step(c, _):
+        x, r, p, v, rho, alpha, omega = c
+        live = jax.lax.stop_gradient(tdot(r, r)) > cutoff
+        rho_new = tdot(rhat, r)
+        tb = _tiny(rho_new)
+        beta = ((rho_new / jnp.where(jnp.abs(rho) > tb, rho, tb))
+                * (alpha / jnp.where(jnp.abs(omega) > tb, omega, tb)))
+        p = _tmap(lambda ri, pi, vi: ri + beta * (pi - omega * vi), r, p, v)
+        phat = precond(p)
+        v = matvec(phat)
+        rv = tdot(rhat, v)
+        alpha_n = rho_new / jnp.where(jnp.abs(rv) > tb, rv, tb)
+        s_vec = taxpy(-alpha_n, v, r)
+        shat = precond(s_vec)
+        t = matvec(shat)
+        tt = tdot(t, t)
+        omega_n = tdot(t, s_vec) / jnp.where(tt > tb, tt, tb)
+        alpha_n = jnp.where(live, alpha_n, 0.0)
+        omega_n = jnp.where(live, omega_n, 0.0)
+        x = _tmap(lambda xi, ph, sh: xi + alpha_n * ph + omega_n * sh,
+                  x, phat, shat)
+        r = taxpy(-omega_n, t, s_vec)
+        return (x, r, p, v, rho_new, alpha_n, omega_n), None
+
+    (x, *_), _ = jax.lax.scan(
+        step, (x, r, zero_t, zero_t, one, one, one), None,
+        length=int(n_steps))
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Restarted GMRES (the adjoint linear solver)
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,12 @@ _DEFAULTS: dict[str, Any] = {
         "fpRelaxation": 1.0,
         "fpMinResTolDiff": 1.0e2,
         "fpAcceleration": "gmres",
+        # step-map inner solves: "fixed" = scan smoothers, exactly
+        # transposed by plain AD (fast; totals exact at a converged
+        # primal); "implicit" = custom_linear_solve with tight transpose
+        # solves (certification-grade at any primal residual, ~10x cost)
+        "fpInnerMode": "fixed",
+        "fpInnerScale": 1.0,
         "dynAdjustTol": True,
     },
     "adjPCLag": 10000,

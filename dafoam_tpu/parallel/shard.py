@@ -72,3 +72,29 @@ def shard_case(mesh: Mesh, state: dict, inputs: dict, axis: str = "mesh",
 
     return (jax.tree_util.tree_map(place, state),
             jax.tree_util.tree_map(place, inputs))
+
+
+def shard_solver(solver, n_devices: int | None = None, axis: str = "mesh"):
+    """PRODUCTION multi-chip opt-in: route every LDU matvec of this
+    solver's topology — primal smoother iterations (fvsolve/cg/bicgstab),
+    the custom_linear_solve transposes, and the adjoint FGMRES/fixed-point
+    products — through the explicit shard_map+ppermute halo path
+    (parallel.halo.HaloMatvec via ops.fvmatrix.matvec_fn dispatch), so the
+    solve-phase communication is ppermutes proportional to the partition
+    cut and the face-coefficient compute is sharded per device.
+
+    The solver must have been built on a partition-reordered topology
+    (parallel.partition.reorder_for_partitions with the same device
+    count). Returns (mesh, halo_matvec); `halo_matvec.plan.cut_faces` is
+    the comm-volume diagnostic. Reference analog: decomposePar +
+    processor-patch exchanges inside every fvMatrix solve
+    (pyDAFoam.py:1454-1480, DAJacCon.H:100-109).
+
+    Call BEFORE the first run_* invocation: matvec dispatch happens at
+    trace time, and already-jitted executables keep their original path.
+    """
+    from dafoam_tpu.parallel import halo
+
+    mesh = device_mesh(n_devices, axis)
+    hm = halo.activate(solver.topo, mesh, axis)
+    return mesh, hm

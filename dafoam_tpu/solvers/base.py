@@ -29,6 +29,7 @@ import numpy as np
 
 from dafoam_tpu.adjoint import solver as adjsolver
 from dafoam_tpu.functions import evaluate_function
+from dafoam_tpu.linalg import fvsolve
 from dafoam_tpu.mesh.geometry import compute_geometry
 from dafoam_tpu.option import DAOption
 from dafoam_tpu.states import StateInfo, StateLayout
@@ -219,7 +220,7 @@ class DASolverBase:
             # the returned vector is psibar (step-map convention); pair
             # it with total_derivative, which dispatches accordingly.
             return adjsolver.adjoint_solve_fp(
-                lambda w, x: self.primal_step(w, x), state, inputs, dJdW,
+                self._fp_step_fn(), state, inputs, dJdW,
                 rel_tol=opt.get("fpRelTol", 1e-6),
                 abs_tol=opt["gmresAbsTol"],
                 max_iters=opt.get("fpMaxIters", 1000),
@@ -242,6 +243,33 @@ class DASolverBase:
         return self.solve_adjoint_rhs(state, inputs, dJdW, psi0=psi0,
                                       precond=precond)
 
+    def _fp_step_fn(self):
+        """The differentiable step map the fixed-point adjoint uses.
+
+        fpInnerMode "fixed" (default): inner solves run as FIXED-iteration
+        scan smoothers (fvsolve.fixed_inner), so plain reverse AD is the
+        exact transpose of the map at ~2x forward cost and each
+        (I - dG^T) product costs a few smoother sweeps — no tight
+        implicit-function transpose solves. Totals stay exact at a
+        converged primal: the step map's approximate-inverse terms carry
+        a factor R(W*) ~ 0 (see fvsolve.solve_fixed). fpInnerScale scales
+        the per-equation iteration counts relative to the primal's
+        maxIters. "implicit" keeps lax.custom_linear_solve inner solves
+        with tight transposes (certification-grade but ~10x costlier per
+        product).
+        """
+        opt = self.option["adjEqnOption"]
+        mode = opt.get("fpInnerMode", "fixed")
+        if mode == "implicit":
+            return lambda w, x: self.primal_step(w, x)
+        scale = float(opt.get("fpInnerScale", 1.0))
+
+        def step(w, x):
+            with fvsolve.fixed_inner(scale):
+                return self.primal_step(w, x)
+
+        return step
+
     def _fp_adjoint(self) -> bool:
         """True when the solver-level fixed-point adjoint is selected AND
         this solver exposes the differentiable step map it needs."""
@@ -258,7 +286,7 @@ class DASolverBase:
     def total_derivative(self, state, inputs, func_name, psi):
         if self._fp_adjoint():
             return adjsolver.total_derivative_fp(
-                lambda w, x: self.primal_step(w, x),
+                self._fp_step_fn(),
                 lambda w, x: self.eval_function(func_name, w, x),
                 state, inputs, psi)
         return adjsolver.total_derivative(

@@ -54,8 +54,15 @@ def make_case(adj_method, adj_extra=None):
     return solver
 
 
-@pytest.mark.parametrize("accel", ["gmres", "richardson"])
-def test_fixedpoint_matches_krylov(accel):
+@pytest.mark.parametrize("accel,inner", [("gmres", "fixed"),
+                                         ("gmres", "implicit"),
+                                         ("richardson", "fixed")])
+def test_fixedpoint_matches_krylov(accel, inner):
+    """Both inner-solve modes must reproduce the Krylov totals:
+    "implicit" (custom_linear_solve, tight transposes) by the
+    implicit-function rule, "fixed" (scan smoothers, plain AD transpose)
+    because at a converged primal any smooth approximate inverse in the
+    step map yields exact totals (fvsolve.solve_fixed)."""
     kry = make_case("Krylov")
     inputs = kry.make_inputs()
     state, info = kry.run_primal(kry.init_state(), inputs)
@@ -65,7 +72,8 @@ def test_fixedpoint_matches_krylov(accel):
     assert bool(ik.converged), (int(ik.iters), float(ik.resid))
     tot_k = kry.total_derivative(state, inputs, "LidForce", psi_k)
 
-    fp = make_case("fixedPoint", {"fpAcceleration": accel})
+    fp = make_case("fixedPoint", {"fpAcceleration": accel,
+                                  "fpInnerMode": inner})
     psibar, jf = fp.solve_adjoint(state, inputs, "LidForce")
     assert bool(jf.converged), (int(jf.iters), float(jf.resid),
                                 float(jf.resid0))

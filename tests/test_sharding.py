@@ -138,3 +138,54 @@ def test_halo_matvec_parity_and_vjp():
     for a, b in zip(gh, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-12, atol=1e-13)
+
+
+def test_halo_production_primal_adjoint_parity():
+    """VERDICT r2 item 3: the halo path wired into the PRODUCTION solve —
+    parallel.shard.shard_solver routes every LDU matvec (primal smoother
+    Krylov iterations, adjoint products) through shard_map+ppermute; full
+    primal + adjoint + totals must match the single-device run to 1e-10."""
+    from dafoam_tpu.parallel import halo
+    from dafoam_tpu.parallel.shard import shard_solver
+
+    assert len(jax.devices()) >= 8
+    pts, topo = box_hex_mesh(16, 16, 1, (0.1, 0.1, 0.01),
+                             kinds={"zmin": "empty", "zmax": "empty",
+                                    "xmin": "wall", "xmax": "wall",
+                                    "ymin": "wall", "ymax": "wall"})
+    topo2, _perm = reorder_for_partitions(topo, pts, 8)
+
+    # single-device reference (run to completion BEFORE activation:
+    # matvec dispatch happens at trace time)
+    ref = cavity_case(topo2, pts)
+    inputs = ref.make_inputs()
+    st_ref, info_ref = ref.run_primal(ref.init_state(), inputs)
+    assert bool(info_ref.converged)
+    J_ref = float(ref.run_function("lidF", st_ref, inputs))
+    psi_ref, ai_ref = ref.solve_adjoint(st_ref, inputs, "lidF")
+    assert bool(ai_ref.converged)
+    tot_ref = ref.total_derivative(st_ref, inputs, "lidF", psi_ref)
+
+    # sharded-faces production path
+    sol = cavity_case(topo2, pts)
+    mesh, hm = shard_solver(sol, 8)
+    assert hm.plan.cut_faces > 0
+    try:
+        st, info = sol.run_primal(sol.init_state(), inputs)
+        assert bool(info.converged)
+        J = float(sol.run_function("lidF", st, inputs))
+        psi, ai = sol.solve_adjoint(st, inputs, "lidF")
+        assert bool(ai.converged)
+        tot = sol.total_derivative(st, inputs, "lidF", psi)
+    finally:
+        halo.deactivate(sol.topo)
+
+    assert J == pytest.approx(J_ref, abs=1e-12, rel=1e-10)
+    np.testing.assert_allclose(np.asarray(st["U"]), np.asarray(st_ref["U"]),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(tot["params"]["nu"]),
+                               np.asarray(tot_ref["params"]["nu"]),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(tot["points"]),
+                               np.asarray(tot_ref["points"]),
+                               rtol=1e-8, atol=1e-12)
