@@ -51,8 +51,12 @@ def run_naca(nw, nr, iters):
                         "wing": {"type": "fixedValue", "value": 0.0}},
         },
         "initialFields": {"U": uinf, "p": 0.0, "nuTilda": 3 * nu},
-        "primalMinResTol": 0.0,
-        "primalMinIters": iters, "primalMaxIters": iters,
+        # run TO CONVERGENCE (the adjoint linearizes R(W*)=0; also the
+        # honest workload): tol at the f32 SIMPLE residual floor, capped.
+        # `iters` (BENCH_ITERS) is the floor; BENCH_MAX_ITERS the cap.
+        "primalMinResTol": float(os.environ.get("BENCH_PRIMAL_TOL", "1e-5")),
+        "primalMinIters": iters,
+        "primalMaxIters": int(os.environ.get("BENCH_MAX_ITERS", "2000")),
         "primalLinearSolver": {"pMaxIters": 50, "pRelTol": 0.05,
                                "uMaxIters": 20, "uRelTol": 0.1,
                                "turbMaxIters": 20, "turbRelTol": 0.1},
@@ -61,9 +65,19 @@ def run_naca(nw, nr, iters):
         "function": {"CD": {"type": "force", "patches": ["wing"],
                             "directionMode": "fixedDirection",
                             "direction": [1.0, 0.0, 0.0], "scale": 1.0}},
-        "adjEqnOption": {"gmresRelTol": 1e-5, "gmresRestart": 120,
-                         "gmresMaxIters": 120, "pcType": "segregated",
-                         "pcInnerIters": 10},
+        # adjoint: solver-level fixed-point mode (runFPAdj analog) — GMRES
+        # on (I - dG^T) with the SIMPLE step map G, TIMED TO CONVERGENCE
+        # (VERDICT r2 item 1: no more fixed-budget unconverged solves).
+        # The Krylov+block-PC route stalls on this O-mesh (see
+        # scripts/fp_adjoint_study.py / adjoint_spectrum_study.py).
+        "adjEqnSolMethod": "fixedPoint",
+        "adjEqnOption": {
+            "fpRelTol": float(os.environ.get("BENCH_FP_TOL", "1e-6")),
+            "fpMaxIters": int(os.environ.get("BENCH_FP_ITERS", "400")),
+            "fpInnerScale": float(os.environ.get("BENCH_FP_SCALE", "0.4")),
+            "fpAcceleration": "gmres",
+            "gmresRestart": 400, "gmresAbsTol": 1e-14,
+            "pcType": "none"},
         "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
                             "nuTilda": 3 * nu},
     }
@@ -77,10 +91,12 @@ def run_naca(nw, nr, iters):
               file=sys.stderr, flush=True)
 
     # compile + run primal
-    _mark(f"compiling primal ({topo.n_cells} cells, {iters} iters)")
+    _mark(f"compiling primal ({topo.n_cells} cells, min {iters} iters)")
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
-    _mark("primal compiled; timing run")
+    n_primal = int(info.iters)
+    _mark(f"primal compiled ({n_primal} iters, "
+          f"res {float(info.max_res):.2e}); timing run")
     t0 = time.perf_counter()
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
@@ -95,30 +111,44 @@ def run_naca(nw, nr, iters):
     if not bool(jnp.isfinite(cd)):
         raise RuntimeError("non-finite objective after primal")
 
-    # compile + run adjoint (fixed budget)
+    # compile + run adjoint (TO CONVERGENCE: fixed-point GMRES on the
+    # step map; ai.iters/ai.resid report iterations-to-tolerance)
     _mark(f"primal timed: {t_primal:.2f}s; compiling adjoint")
     psi, ai = solver.run_adjoint("CD", st, inputs)
     jax.block_until_ready(psi["p"])
-    _mark("adjoint compiled; timing run")
+    _mark(f"adjoint compiled ({int(ai.iters)} iters, "
+          f"rel {float(ai.resid / ai.resid0):.2e}); timing run")
     t0 = time.perf_counter()
     psi, ai = solver.run_adjoint("CD", st, inputs)
     jax.block_until_ready(psi["p"])
     t_adj = time.perf_counter() - t0
     if not all(bool(jnp.all(jnp.isfinite(v))) for v in psi.values()):
         raise RuntimeError("non-finite adjoint solution")
+    adj_rel = float(ai.resid / ai.resid0)
+    if not bool(ai.converged):
+        raise RuntimeError(
+            f"adjoint did not converge: {int(ai.iters)} iters, "
+            f"rel resid {adj_rel:.3e}")
 
-    cell_iters = topo.n_cells * iters / (t_primal + t_adj)
+    n_primal = int(info.iters)
+    cell_iters = topo.n_cells * n_primal / (t_primal + t_adj)
+    fp_tol = solver.option["adjEqnOption"]["fpRelTol"]
     return {
-        "metric": f"NACA0012 SA-RANS {nw}x{nr} primal({iters} SIMPLE iters)"
-                  f"+adjoint(120 FGMRES) wall-clock "
+        "metric": f"NACA0012 SA-RANS {nw}x{nr} primal({n_primal} SIMPLE "
+                  f"iters to res {float(info.max_res):.1e})"
+                  f"+adjoint(fixedPoint GMRES to relTol {fp_tol:g}, "
+                  f"CONVERGED in {int(ai.iters)} iters) wall-clock "
                   f"[{jax.devices()[0].platform}]",
         "value": round(cell_iters, 1),
         "unit": "cell-iterations/s",
         "vs_baseline": round(cell_iters / REF_CELL_ITERS_PER_SEC, 4),
         "primal_s": round(t_primal, 3),
+        "primal_iters": n_primal,
+        "primal_res": float(info.max_res),
         "adjoint_s": round(t_adj, 3),
         "CD": round(float(cd), 6),
-        "adj_res": float(ai.resid),
+        "adj_iters": int(ai.iters),
+        "adj_res": adj_rel,
     }
 
 

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from dafoam_tpu.linalg.krylov import (SolveInfo, bicgstab, bicgstab_steps,
-                                      cg, cg_steps)
+                                      cg, cg_steps, chebyshev_steps,
+                                      jacobi_steps)
 from dafoam_tpu.ops.fvmatrix import FvMatrix, matvec
 
 
@@ -35,8 +36,8 @@ _FIXED_INNER: list = []
 
 
 @contextlib.contextmanager
-def fixed_inner(scale: float = 1.0):
-    _FIXED_INNER.append(float(scale))
+def fixed_inner(scale: float = 1.0, smoother: str = "linear"):
+    _FIXED_INNER.append((float(scale), str(smoother)))
     try:
         yield
     finally:
@@ -65,9 +66,10 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
     trans_max_iters = max(max_iters, 1000).
     """
     if _FIXED_INNER:
-        n = max(1, int(round(_FIXED_INNER[-1] * max_iters)))
+        scale, smoother = _FIXED_INNER[-1]
+        n = max(1, int(round(scale * max_iters)))
         x = solve_fixed(m, psi0, topo, symmetric=symmetric, n_iters=n,
-                        rhs=rhs)
+                        rhs=rhs, smoother=smoother)
         zero = jnp.zeros((), x.dtype)
         return x, SolveInfo(jnp.asarray(n), zero, zero, jnp.asarray(True))
 
@@ -113,7 +115,7 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
 
 
 def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
-                rhs=None):
+                rhs=None, smoother="linear"):
     """FIXED-ITERATION approximate solve (lax.scan; no custom_linear_solve,
     no convergence exit) — the smoother variant of ``solve`` used by the
     fixed-point adjoint's step map.
@@ -126,6 +128,19 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
     adjoint to solver tolerance while each (I - dG^T) product costs only
     a few smoother sweeps. Static trip counts also compile to tight,
     pipelined TPU loops (no while_loop divergence).
+
+    smoother="linear" (default): defect-correction with FIXED, data-
+    independent coefficients — Chebyshev on the Jacobi-preconditioned
+    operator for symmetric (pressure) equations, damped Jacobi otherwise.
+    Linear in the defect b - A psi0, so the map stays smooth AND its AD
+    transpose stays finite even when the defect sits at the dtype's noise
+    floor — which it always does at a warm-started converged state. The
+    Krylov steppers' <r,z>/<p,Ap> coefficient ratios turn into
+    differentiated noise there and NaN in f32 (the TPU bench dtype); see
+    cg_steps/bicgstab_steps freeze notes. Also dot-product-free: each
+    sweep is halo-local on a sharded mesh (no ICI reductions).
+    smoother="krylov": the frozen-on-convergence CG/BiCGStab step scans
+    (stronger contraction per step; f64-safe).
     """
     b = m.source if rhs is None else m.source + rhs
     d = _diag_like(m, psi0)
@@ -134,6 +149,11 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
     mv = matvec_fn(m, topo)
+
+    if smoother == "linear":
+        r0 = b - mv(psi0)
+        step_fn = chebyshev_steps if symmetric else jacobi_steps
+        return psi0 + step_fn(mv, dinv, r0, n_steps=int(n_iters))
 
     def prec(r):
         return dinv * r

@@ -228,19 +228,32 @@ def cg_steps(matvec: Callable, b, x0=None, precond: Callable | None = None,
     r = _tmap(lambda bi, ax: bi - ax, b, matvec(x))
     z = precond(r)
     rz = tdot(r, z)
-    # freeze threshold: once |rz| drops below (8 eps)^2 of its initial
-    # value the iteration is at working precision — further steps would
-    # amplify rounding noise through the guarded divisions (alpha with
-    # rz, pap both ~0), corrupting both the value AND its AD transpose.
-    # Masked freeze keeps the map smooth where it matters and makes the
-    # extra steps exact identities (zero derivative contribution).
+    # STICKY freeze: once the residual reaches the dtype's stagnation
+    # floor ((256 eps)^2 relative on rz — BiCGStab/CG in f32 stall around
+    # 1e-5 rel), further steps would iterate on rounding noise, and the
+    # noise recursion EXPLODES in the AD transpose (observed: momentum
+    # bicgstab vjp -> NaN at n>=14 in f32). Frozen steps have alpha=0 so
+    # they are exact identities (zero derivative contribution); the
+    # freeze is carried in the scan state so post-stagnation noise can
+    # never unfreeze it. The smoother does not need accuracy below the
+    # floor: the fixed-point adjoint needs only a smooth, contractive
+    # step map (see fvsolve.solve_fixed).
     eps = jnp.finfo(jnp.result_type(
         *jax.tree_util.tree_leaves(b))).eps
-    cutoff = (8.0 * eps) ** 2 * jnp.abs(jax.lax.stop_gradient(rz))
+    # the floor is relative to the PROBLEM scale <b, M^-1 b>, not to the
+    # initial residual: a warm-started solve at an already-converged
+    # state begins AT the noise floor (rz0 << the solve's own scale), and
+    # an r0-relative cutoff would then never trigger — the whole scan
+    # iterates on noise and its transpose NaNs
+    bz = jnp.abs(jax.lax.stop_gradient(tdot(b, precond(b))))
+    cutoff = (256.0 * eps) ** 2 * jnp.maximum(
+        bz, jnp.abs(jax.lax.stop_gradient(rz)))
 
     def step(c, _):
-        x, r, z, p, rz = c
-        live = jnp.abs(jax.lax.stop_gradient(rz)) > cutoff
+        x, r, z, p, rz, live = c
+        arz = jnp.abs(jax.lax.stop_gradient(rz))
+        live = jnp.logical_and(live, jnp.isfinite(arz))
+        live = jnp.logical_and(live, arz > cutoff)
         ap = matvec(p)
         pap = tdot(p, ap)
         tp = _tiny(pap)
@@ -253,10 +266,11 @@ def cg_steps(matvec: Callable, b, x0=None, precond: Callable | None = None,
         beta = jnp.where(live,
                          rz_new / jnp.where(jnp.abs(rz) > tp, rz, tp), 0.0)
         p = taxpy(beta, p, z)
-        return (x, r, z, p, rz_new), None
+        return (x, r, z, p, rz_new, live), None
 
-    (x, r, *_), _ = jax.lax.scan(step, (x, r, z, z, rz), None,
-                                 length=int(n_steps))
+    (x, r, *_), _ = jax.lax.scan(
+        step, (x, r, z, z, rz, jnp.asarray(True)), None,
+        length=int(n_steps))
     return x
 
 
@@ -270,14 +284,20 @@ def bicgstab_steps(matvec: Callable, b, x0=None,
     rhat = r
     one = jnp.asarray(1.0, jnp.result_type(*jax.tree_util.tree_leaves(b)))
     zero_t = tzeros_like(b)
-    # freeze once converged to working precision (see cg_steps)
+    # sticky freeze at the dtype stagnation floor (see cg_steps) — in f32
+    # BiCGStab stalls near 1e-5 rel and the post-stagnation recursion
+    # NaNs in the AD transpose
     eps = jnp.finfo(one.dtype).eps
     rr0 = jax.lax.stop_gradient(tdot(r, r))
-    cutoff = (8.0 * eps) ** 2 * rr0
+    # problem-scale floor (see cg_steps: warm starts begin at the floor)
+    bb = jax.lax.stop_gradient(tdot(b, b))
+    cutoff = (256.0 * eps) ** 2 * jnp.maximum(bb, rr0)
 
     def step(c, _):
-        x, r, p, v, rho, alpha, omega = c
-        live = jax.lax.stop_gradient(tdot(r, r)) > cutoff
+        x, r, p, v, rho, alpha, omega, live = c
+        rr = jax.lax.stop_gradient(tdot(r, r))
+        live = jnp.logical_and(live, jnp.isfinite(rr))
+        live = jnp.logical_and(live, rr > cutoff)
         rho_new = tdot(rhat, r)
         tb = _tiny(rho_new)
         beta = ((rho_new / jnp.where(jnp.abs(rho) > tb, rho, tb))
@@ -296,13 +316,80 @@ def bicgstab_steps(matvec: Callable, b, x0=None,
         omega_n = jnp.where(live, omega_n, 0.0)
         x = _tmap(lambda xi, ph, sh: xi + alpha_n * ph + omega_n * sh,
                   x, phat, shat)
-        r = taxpy(-omega_n, t, s_vec)
-        return (x, r, p, v, rho_new, alpha_n, omega_n), None
+        r_new = taxpy(-omega_n, t, s_vec)
+        # keep the pre-step residual when frozen: s_vec = r - alpha*v with
+        # alpha=0 still recomputes r through t/omega noise paths otherwise
+        r = jax.lax.cond(live, lambda _: r_new, lambda _: r, None)
+        return (x, r, p, v, rho_new, alpha_n, omega_n, live), None
 
     (x, *_), _ = jax.lax.scan(
-        step, (x, r, zero_t, zero_t, one, one, one), None,
-        length=int(n_steps))
+        step, (x, r, zero_t, zero_t, one, one, one, jnp.asarray(True)),
+        None, length=int(n_steps))
     return x
+
+
+def jacobi_steps(matvec: Callable, dinv, r0, n_steps=10, omega=0.6666667):
+    """delta = k steps of damped Jacobi on A delta = r0, delta0 = 0.
+
+    LINEAR in r0 with coefficients independent of the data — the smoother
+    the fixed-point step map uses for nonsymmetric equations. Unlike
+    Krylov steps, there are no <r,z>/<p,Ap> coefficient ratios that turn
+    into differentiated noise at a converged (r0 ~ eps) state; AD through
+    the scan is the exact transpose and is unconditionally stable.
+    No dot products either: on a sharded mesh each step is halo-local
+    (TPU/ICI-friendly; reference role: the smoothSolver sweeps)."""
+    omega = jnp.asarray(omega, jnp.result_type(
+        *jax.tree_util.tree_leaves(r0)))
+
+    def step(c, _):
+        delta, r = c
+        upd = _tmap(lambda di, ri: omega * di * ri, dinv, r)
+        delta = _tmap(jnp.add, delta, upd)
+        r = _tmap(lambda ri, ai: ri - ai, r, matvec(upd))
+        return (delta, r), None
+
+    (delta, _), _ = jax.lax.scan(step, (tzeros_like(r0), r0), None,
+                                 length=int(n_steps))
+    return delta
+
+
+def chebyshev_steps(matvec: Callable, dinv, r0, n_steps=20,
+                    lam_max=2.2, ratio=30.0):
+    """delta = k-step Chebyshev semi-iteration on D^-1 A delta = D^-1 r0,
+    delta0 = 0, targeting the spectrum slice [lam_max/ratio, lam_max] of
+    the Jacobi-preconditioned operator (hypre/AMG smoother recipe; for a
+    weakly diagonally dominant SPD/SND fvMatrix, Gershgorin gives
+    lam(D^-1 A) <= 2, so the static 2.2 bound is safe — STATIC bounds keep
+    the map linear in r0, which is the whole point, see jacobi_steps).
+    Dot-product-free and exactly AD-transposable."""
+    dt = jnp.result_type(*jax.tree_util.tree_leaves(r0))
+    hi = jnp.asarray(lam_max, dt)
+    lo = hi / ratio
+    theta = (hi + lo) / 2.0
+    half = (hi - lo) / 2.0
+    sigma = theta / half
+
+    pr0 = _tmap(lambda di, ri: di * ri, dinv, r0)
+
+    def pmv(v):
+        return _tmap(lambda di, ai: di * ai, dinv, matvec(v))
+
+    d0 = tscale(1.0 / theta, pr0)
+    rho0 = 1.0 / sigma
+
+    def step(c, _):
+        delta, r, dvec, rho = c
+        delta = _tmap(jnp.add, delta, dvec)
+        r = _tmap(lambda ri, ai: ri - ai, r, pmv(dvec))
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        dvec = _tmap(lambda dv, ri: rho_new * rho * dv
+                     + (2.0 * rho_new / half) * ri, dvec, r)
+        return (delta, r, dvec, rho_new), None
+
+    (delta, r, dvec, _), _ = jax.lax.scan(
+        step, (tzeros_like(r0), pr0, d0, jnp.asarray(rho0, dt)), None,
+        length=int(n_steps))
+    return delta
 
 
 # ---------------------------------------------------------------------------

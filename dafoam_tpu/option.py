@@ -81,6 +81,13 @@ _DEFAULTS: dict[str, Any] = {
         # solves (certification-grade at any primal residual, ~10x cost)
         "fpInnerMode": "fixed",
         "fpInnerScale": 1.0,
+        # "fixed"-mode smoother: "linear" = defect-correction Chebyshev
+        # (pressure) / damped Jacobi (momentum, turbulence) with static
+        # coefficients — AD transpose finite even at the f32 noise floor,
+        # dot-product-free (halo-local on a sharded mesh); "krylov" =
+        # frozen-on-convergence CG/BiCGStab step scans (stronger per-step
+        # contraction; f64-safe only)
+        "fpInnerSmoother": "linear",
         "dynAdjustTol": True,
     },
     "adjPCLag": 10000,

@@ -263,9 +263,10 @@ class DASolverBase:
         if mode == "implicit":
             return lambda w, x: self.primal_step(w, x)
         scale = float(opt.get("fpInnerScale", 1.0))
+        smoother = str(opt.get("fpInnerSmoother", "linear"))
 
         def step(w, x):
-            with fvsolve.fixed_inner(scale):
+            with fvsolve.fixed_inner(scale, smoother):
                 return self.primal_step(w, x)
 
         return step

@@ -127,3 +127,20 @@ def test_cht_coupled_adjoint_vs_fd(case):
     eps = 1e-3
     fd = (runJ(T_HOT + eps) - runJ(T_HOT - eps)) / (2 * eps)
     assert dThot == pytest.approx(fd, rel=5e-4), (dThot, fd)
+
+    # forward-AD triangulation (reference testFuncs.py:34-46): jvp through
+    # the coupled Gauss-Seidel sweep — same coupling-convergence limit as
+    # FD, none of its step-size noise
+    def J_of_th(th):
+        ins2 = jax.tree_util.tree_map(lambda x: x, ins)
+        ins2["bc"]["T"]["ymin"] = th
+        s_f, s_s, _ = cht.solve_primal(fluid.init_state(),
+                                       solid.init_state(), inf, ins2,
+                                       n_outer=25)
+        inf2, _ = cht._apply_coupling(inf, ins2, s_f, s_s)
+        return fluid.eval_function("Tout", s_f, inf2)
+
+    _, dJ_fwd = jax.jvp(J_of_th, (ins["bc"]["T"]["ymin"],),
+                        (jnp.ones_like(ins["bc"]["T"]["ymin"]),))
+    assert dThot == pytest.approx(float(dJ_fwd), rel=5e-4), (dThot,
+                                                             float(dJ_fwd))

@@ -140,6 +140,18 @@ def test_irk_unsteady_adjoint_vs_fd(case):
     fd = (runJ(0.01 + eps) - runJ(0.01 - eps)) / (2 * eps)
     assert dnu == pytest.approx(fd, rel=2e-5), (dnu, fd)
 
+    # forward-AD triangulation (reference testFuncs.py:34-46): jvp of the
+    # Radau IIA time loop
+    def J_of_nu(nu):
+        inp = jax.tree_util.tree_map(lambda x: x, inputs)
+        inp["params"]["nu"] = nu
+        _, h = solver.solve_primal_history(solver.init_state(), inp)
+        return solver.eval_function_history("lidF", h, inp)[0]
+
+    _, dJ_fwd = jax.jvp(J_of_nu, (inputs["params"]["nu"],),
+                        (jnp.ones((), solver.dtype),))
+    assert dnu == pytest.approx(float(dJ_fwd), rel=1e-9), (dnu, float(dJ_fwd))
+
 
 def test_irk_adjoint_pc_consistency(case):
     """Unpreconditioned GMRES (shallower convergence) agrees with the

@@ -120,3 +120,16 @@ def test_dym_adjoint_amplitude_vs_fd(case):
     fd = (runJ(AMP + eps) - runJ(AMP - eps)) / (2 * eps)
     assert abs(damp) > 1e-10            # motion sensitivity is non-trivial
     assert damp == pytest.approx(fd, rel=2e-3), (damp, fd)
+
+    # forward-AD triangulation (reference testFuncs.py:34-46): jvp of the
+    # moving-mesh time loop
+    def J_of_amp(amp):
+        inp = jax.tree_util.tree_map(lambda x: x, inputs)
+        inp["params"]["dyMeshAmp"] = amp
+        _, h = solver.solve_primal_history(solver.init_state(), inp)
+        return solver.eval_function_history("wallFx", h, inp)[0]
+
+    _, dJ_fwd = jax.jvp(J_of_amp, (inputs["params"]["dyMeshAmp"],),
+                        (jnp.ones((), solver.dtype),))
+    assert damp == pytest.approx(float(dJ_fwd), rel=1e-9), (damp,
+                                                            float(dJ_fwd))

@@ -59,3 +59,9 @@ def test_p1_radiation_adjoint_vs_fd():
     eps = 1e-6
     fd = (runJ(0.5 + eps) - runJ(0.5 - eps)) / (2 * eps)
     assert da == pytest.approx(fd, rel=1e-5), (da, fd)
+
+    # forward-AD triangulation (reference testFuncs.py:34-46)
+    dx = jax.tree_util.tree_map(jnp.zeros_like, inputs)
+    dx["params"]["radiationAbsorptivity"] = jnp.ones((), solver.dtype)
+    dJ_fwd, _ = solver.forward_total_derivative(st, inputs, "Tm", dx)
+    assert da == pytest.approx(float(dJ_fwd), rel=1e-6), (da, float(dJ_fwd))

@@ -92,3 +92,10 @@ def test_rho_adjoint_vs_fd(case):
     eps = 1e-3
     fd = (runJ(350.0 + eps) - runJ(350.0 - eps)) / (2 * eps)
     assert dTw == pytest.approx(fd, rel=1e-4), (dTw, fd)
+
+    # forward-AD triangulation (reference: ADF build vs ADR build per
+    # solver, testFuncs.py:34-46)
+    dx = jax.tree_util.tree_map(jnp.zeros_like, inputs)
+    dx["bc"]["T"]["ymin"] = jnp.ones_like(inputs["bc"]["T"]["ymin"])
+    dJ_fwd, _ = solver.forward_total_derivative(state, inputs, "Tout", dx)
+    assert dTw == pytest.approx(float(dJ_fwd), rel=1e-6), (dTw, float(dJ_fwd))

@@ -120,6 +120,20 @@ def test_rho_pimple_unsteady_adjoint_vs_fd(rho_pimple_case):
     # assumes R^n = 0 exactly); 12% at 4 outers -> 0.6% at 20 outers
     assert dTw == pytest.approx(fd, rel=1e-2), (dTw, fd)
 
+    # forward-AD triangulation (reference testFuncs.py:34-46): jvp of the
+    # compressible time loop — exact twin of the FD above, so it shares
+    # the per-step-convergence limit vs the adjoint but not FD noise
+    def J_of_tw(tw):
+        inp = jax.tree_util.tree_map(lambda x: x, inputs)
+        inp["bc"]["T"]["ymin"] = tw
+        _, h = solver.solve_primal_history(solver.init_state(), inp)
+        return solver.eval_function_history("Tout", h, inp)[0]
+
+    _, dJ_fwd = jax.jvp(J_of_tw, (inputs["bc"]["T"]["ymin"],),
+                        (jnp.ones_like(inputs["bc"]["T"]["ymin"]),))
+    assert dTw == pytest.approx(float(dJ_fwd), rel=1e-2), (dTw,
+                                                           float(dJ_fwd))
+
 
 def test_linear_upwind_channel_adjoint_vs_fd():
     """End-to-end adjoint consistency with the 2nd-order scheme active

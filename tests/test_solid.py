@@ -74,3 +74,9 @@ def test_solid_adjoint_vs_fd(case):
     eps = 2e3  # relative 1e-8 of E
     fd = (runJ(2e11 + eps) - runJ(2e11 - eps)) / (2 * eps)
     assert dE == pytest.approx(fd, rel=1e-4), (dE, fd)
+
+    # forward-AD triangulation (reference testFuncs.py:34-46)
+    dx = jax.tree_util.tree_map(jnp.zeros_like, inputs)
+    dx["params"]["E"] = jnp.ones((), solver.dtype)
+    dJ_fwd, _ = solver.forward_total_derivative(state, inputs, "tipD", dx)
+    assert dE == pytest.approx(float(dJ_fwd), rel=1e-6), (dE, float(dJ_fwd))

@@ -122,3 +122,9 @@ def test_transonic_adjoint_vs_fd(converged):
     h = 2e-3 * UIN
     fd = (run(h) - run(-h)) / (2 * h)
     assert g == pytest.approx(fd, rel=5e-3), (g, fd)
+
+    # forward-AD triangulation (reference testFuncs.py:34-46)
+    dx = jax.tree_util.tree_map(jnp.zeros_like, inputs)
+    dx["bc"]["U"]["xmin"] = jnp.asarray([1.0, 0.0, 0.0], solver.dtype)
+    dJ_fwd, _ = solver.forward_total_derivative(st, inputs, "CDp", dx)
+    assert g == pytest.approx(float(dJ_fwd), rel=1e-6), (g, float(dJ_fwd))

@@ -148,3 +148,10 @@ def test_turbo_omega_adjoint_vs_fd(converged):
     fd = (run(OMEGA + h) - run(OMEGA - h)) / (2 * h)
     assert abs(g) > 1e-5  # omega genuinely couples into the objective
     assert g == pytest.approx(fd, rel=2e-3), (g, fd)
+
+    # forward-AD triangulation (reference testFuncs.py:34-46)
+    dx = jax.tree_util.tree_map(jnp.zeros_like, inputs)
+    dx["params"] = dict(dx["params"],
+                        MRF={"omega": jnp.ones((), solver.dtype)})
+    dJ_fwd, _ = solver.forward_total_derivative(st, inputs, "MFR", dx)
+    assert g == pytest.approx(float(dJ_fwd), rel=1e-6), (g, float(dJ_fwd))
