@@ -177,10 +177,108 @@ def _case_heat_radiation():
     }
 
 
+def _case_naca_sa():
+    """NACA0012 O-mesh SIMPLE+SA (the north-star physics at golden-harness
+    scale): drag + viscosity/shape totals through the full segregated
+    machinery incl. the SA model state and the flux state (reference
+    regression analog: runRegTests_DASimpleFoam.py)."""
+    from dafoam_tpu.mesh.airfoil import omesh_naca0012
+
+    nu = 1e-3
+    uinf = [1.0, 0.0, 0.0]
+    pts, topo = omesh_naca0012(n_wrap=32, n_radial=12, radius=15.0,
+                               first_cell=4e-3)
+    opts = {
+        "solverName": "DASimpleFoam",
+        "turbulenceModel": "SpalartAllmaras",
+        "transportProperties": {"nu": nu},
+        "boundaryConditions": {
+            "U": {"far": {"type": "inletOutlet", "value": uinf},
+                  "wing": {"type": "fixedValue", "value": [0.0, 0.0, 0.0]}},
+            "p": {"far": {"type": "fixedValue", "value": 0.0},
+                  "wing": {"type": "zeroGradient"}},
+            "nuTilda": {"far": {"type": "inletOutlet", "value": 3 * nu},
+                        "wing": {"type": "fixedValue", "value": 0.0}},
+        },
+        "initialFields": {"U": uinf, "p": 0.0, "nuTilda": 3 * nu},
+        "primalMinResTol": 1e-10, "primalMaxIters": 1500,
+        "relaxationFactors": {"fields": {"p": 0.2},
+                              "equations": {"U": 0.5, "nuTilda": 0.5}},
+        "primalLinearSolver": {"pMaxIters": 200, "pRelTol": 0.02,
+                               "uMaxIters": 50, "uRelTol": 0.05,
+                               "turbMaxIters": 50, "turbRelTol": 0.05},
+        "function": {"CD": {"type": "force", "patches": ["wing"],
+                            "directionMode": "fixedDirection",
+                            "direction": [1.0, 0.0, 0.0], "scale": 1.0}},
+        "adjEqnOption": {"gmresRelTol": 1e-9, "gmresRestart": 400,
+                         "gmresMaxIters": 3000, "pcType": "segregated"},
+        "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
+                            "nuTilda": 3 * nu},
+    }
+    solver = make_solver(opts, topo, pts)
+    inputs = solver.make_inputs()
+    state, info = solver.run_primal(solver.init_state(), inputs)
+    assert bool(info.converged)
+    J = float(solver.run_function("CD", state, inputs))
+    psi, ai = solver.run_adjoint("CD", state, inputs)
+    assert bool(ai.converged)
+    tot = solver.run_totals("CD", state, inputs, psi)
+    return {
+        "CD": J,
+        "dCD_dnu": float(tot["params"]["nu"]),
+        "dCD_dpoints_norm": float(jnp.linalg.norm(tot["points"])),
+    }
+
+
+def _case_rho_channel():
+    """Compressible heated channel, DARhoSimpleFoam: outlet temperature,
+    mass flow, and wall-temperature total (locks the rho/energy coupling
+    the incompressible cases never touch)."""
+    import test_rho_simple
+
+    solver, inputs = test_rho_simple.channel()
+    state, info = solver.run_primal(solver.init_state(), inputs)
+    assert bool(info.converged)
+    Tout = float(solver.run_function("Tout", state, inputs))
+    mdot = float(solver.run_function("mdot", state, inputs))
+    psi, ai = solver.run_adjoint("Tout", state, inputs)
+    assert bool(ai.converged)
+    tot = solver.run_totals("Tout", state, inputs, psi)
+    return {
+        "Tout": Tout,
+        "mdot": mdot,
+        "dTout_dTwall": float(tot["bc"]["T"]["ymin"]),
+        "dTout_dpoints_norm": float(jnp.linalg.norm(tot["points"])),
+    }
+
+
+def _case_pimple_unsteady():
+    """Unsteady lid-driven cavity, DAPimpleFoam + timeOp average: the
+    time-accurate reverse-sweep adjoint (locks the BDF time scheme and
+    the reverse-scan machinery; reference runRegTests_DAPimpleFoam.py)."""
+    import test_pimple_unsteady
+
+    solver, inputs = test_pimple_unsteady.cavity_unsteady()
+    stT, hist = jax.jit(solver.solve_primal_history)(
+        solver.init_state(), inputs)
+    assert bool(solver.states_valid(stT))
+    J = float(solver.eval_function_history("lidF", hist, inputs)[0])
+    tot, resids = solver.solve_unsteady_adjoint(hist, inputs, "lidF")
+    assert float(np.asarray(resids).max()) < 1e-9
+    return {
+        "lidF_avg": J,
+        "dlidF_dnu": float(tot["params"]["nu"]),
+        "dlidF_dpoints_norm": float(jnp.linalg.norm(tot["points"])),
+    }
+
+
 CASES = {
     "cavity_simple": _case_cavity_simple,
     "scalar_transport": _case_scalar_transport,
     "heat_radiation": _case_heat_radiation,
+    "naca_sa": _case_naca_sa,
+    "rho_channel": _case_rho_channel,
+    "pimple_unsteady": _case_pimple_unsteady,
 }
 
 
