@@ -17,6 +17,7 @@ from dafoam_tpu.linalg.krylov import (SolveInfo, bicgstab, bicgstab_steps,
                                       cg, cg_steps, chebyshev_steps,
                                       jacobi_steps)
 from dafoam_tpu.ops.fvmatrix import FvMatrix, matvec
+from dafoam_tpu.utils.precision import guard_tiny
 
 
 def _diag_like(m: FvMatrix, psi):
@@ -75,11 +76,16 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
 
     b = m.source if rhs is None else m.source + rhs
     d = _diag_like(m, psi0)
-    td = jnp.finfo(d.dtype).tiny
+    td = guard_tiny(d.dtype)
     dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
-    mv = matvec_fn(m, topo)
+    # the operator handed to custom_linear_solve must be LINEAR-
+    # TRANSPOSABLE by jax (the primitive transposes it eagerly at trace
+    # time) — pallas closures are not; the fast kernel is used inside the
+    # forward solver loop instead (fwd below), which is a black box to AD
+    mv = matvec_fn(m, topo, pallas=False)
+    mv_fast = matvec_fn(m, topo)
 
     def prec(r):
         return dinv * r
@@ -90,7 +96,9 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
     x0 = jax.lax.stop_gradient(psi0)
 
     def fwd(matvec_f, bb):
-        x, _ = solver(matvec_f, bb, x0=x0, precond=prec, rel_tol=rel_tol,
+        # matvec_f == mv semantically; the closed-over fast closure may
+        # route through the Pallas DIA kernel on TPU
+        x, _ = solver(mv_fast, bb, x0=x0, precond=prec, rel_tol=rel_tol,
                       abs_tol=abs_tol, max_iters=max_iters)
         return x
 
@@ -144,7 +152,7 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
     """
     b = m.source if rhs is None else m.source + rhs
     d = _diag_like(m, psi0)
-    td = jnp.finfo(d.dtype).tiny
+    td = guard_tiny(d.dtype)
     dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
@@ -170,4 +178,4 @@ def initial_residual_norm(m: FvMatrix, psi, topo, rhs=None):
     xbar = jnp.mean(psi, axis=0, keepdims=True)
     axbar = matvec(m, jnp.broadcast_to(xbar, psi.shape), topo)
     norm = jnp.sum(jnp.abs(ax - axbar)) + jnp.sum(jnp.abs(b - axbar))
-    return jnp.sum(jnp.abs(b - ax)) / jnp.maximum(norm, jnp.finfo(norm.dtype).tiny)
+    return jnp.sum(jnp.abs(b - ax)) / jnp.maximum(norm, guard_tiny(norm.dtype))

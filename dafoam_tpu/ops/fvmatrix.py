@@ -115,7 +115,7 @@ def matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
     return d * psi + offdiag_matvec(m, psi, topo)
 
 
-def matvec_fn(m: FvMatrix, topo):
+def matvec_fn(m: FvMatrix, topo, pallas: bool = True):
     """Return a matvec closure with the coefficient layout precomputed.
 
     Preferred inside Krylov loops: when the renumbered mesh is banded
@@ -123,6 +123,16 @@ def matvec_fn(m: FvMatrix, topo):
     each application is diag*x + sum_o coef_o * shift(x, o) — static
     slices and multiplies only, the TPU-optimal SpMV. Falls back to the
     ELL gather form otherwise.
+
+    pallas=True (default) routes the scalar banded case through the
+    Pallas VMEM-resident kernel on TPU, wrapped in a custom-vjp so
+    REVERSE AD through Krylov/smoother loops works (fixed-point adjoint
+    step maps, unsteady reverse scans). Two contexts must pass
+    pallas=False: (a) operators handed to lax.custom_linear_solve, which
+    eagerly LINEAR-TRANSPOSES the closure (custom_vjp calls are not
+    transposable — observed as jax hijax 'must override' on the axon TPU
+    plugin), and (b) anything forward-mode differentiated (custom_vjp
+    blocks jvp).
     """
     hm = _active_halo(topo)
     if hm is not None:
@@ -162,12 +172,12 @@ def matvec_fn(m: FvMatrix, topo):
     # operand instead of one per band — see ops/pallas_kernels.py)
     from dafoam_tpu.ops import pallas_kernels as pk
     offs_t = tuple(int(o) for o in offsets.tolist())
-    use_pallas = (d0.ndim == 1
+    use_pallas = (pallas and d0.ndim == 1
                   and pk.dia_matvec_supported(nc, len(offs_t), d0.dtype))
 
     def mv(x):
         if use_pallas and x.ndim == 1 and x.dtype == d0.dtype:
-            return pk.dia_matvec(d0, coef, offs_t, x)
+            return pk.dia_matvec_ad(d0, coef, offs_t, x)
         d = d0 if d0.ndim == x.ndim else d0[..., None]
         y = d * x
         pad = [(lo, hi)] + [(0, 0)] * (x.ndim - 1)

@@ -84,3 +84,68 @@ def dia_matvec_reference(diag, coef, offsets: tuple, x):
     for k, o in enumerate(offsets):
         y = y + coef[k] * jax.lax.slice_in_dim(xp, lo + o, lo + o + n)
     return y
+
+
+def transpose_coef(coef, offsets: tuple):
+    """Band layout of A^T given A's: y = D x + sum_k C_k * shift(x, o_k)
+    has (A^T ct)_j = d_j ct_j + sum_k C_k[j - o_k] ct_{j - o_k}, i.e. the
+    SAME dia form with offsets -o_k and rows C'_k = shift(C_k, -o_k)
+    (zero-filled). Static slices only; used by the custom-vjp backward."""
+    n = coef.shape[1]
+    rows = []
+    for k, o in enumerate(offsets):
+        row = coef[k]
+        if o > 0:        # shift right by o: C'[j] = C[j-o]
+            row = jnp.pad(row[: n - o], (o, 0))
+        elif o < 0:      # shift left by |o|
+            row = jnp.pad(row[-o:], (0, -o))
+        rows.append(row)
+    return jnp.stack(rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _dia_ad_factory(offsets: tuple, interpret: bool):
+    @jax.custom_vjp
+    def f(diag, coef, x):
+        return dia_matvec(diag, coef, offsets, x, interpret=interpret)
+
+    def fwd(diag, coef, x):
+        return f(diag, coef, x), (diag, coef, x)
+
+    def bwd(res, ct):
+        diag, coef, x = res
+        n = x.shape[0]
+        lo = max(0, -min(offsets)) if offsets else 0
+        hi = max(0, max(offsets)) if offsets else 0
+        offs_t = tuple(-o for o in offsets)
+        x_bar = dia_matvec(diag, transpose_coef(coef, offsets), offs_t, ct,
+                           interpret=interpret)
+        diag_bar = ct * x
+        xp = jnp.pad(x, (lo, hi))
+        coef_bar = jnp.stack(
+            [ct * jax.lax.slice_in_dim(xp, lo + o, lo + o + n)
+             for o in offsets]) if offsets else jnp.zeros_like(coef)
+        return diag_bar, coef_bar, x_bar
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def dia_matvec_ad(diag, coef, offsets: tuple, x, interpret: bool = False):
+    """Reverse-differentiable Pallas DIA matvec.
+
+    The raw pallas_call has no AD rules, so anything that reverse-
+    differentiates THROUGH a Krylov/smoother loop on TPU (the fixed-point
+    adjoint's step map, unsteady reverse scans) would die in jax's
+    transpose machinery. This wrapper supplies the exact reverse rule
+    using the same kernel family:
+        x_bar    = A^T ct          (dia_matvec with transposed band layout)
+        diag_bar = ct * x
+        coef_bar[k] = ct * shift(x, o_k)   (static slices)
+    Forward-mode jvp is NOT supported through this op (custom_vjp
+    limitation); operators that get jvp'd or LINEAR-TRANSPOSED by jax
+    (lax.custom_linear_solve does so eagerly) must use the XLA banded
+    closure instead (fvmatrix.matvec_fn(pallas=False)).
+    """
+    return _dia_ad_factory(tuple(int(o) for o in offsets),
+                           bool(interpret))(diag, coef, x)

@@ -30,6 +30,32 @@ def test_dia_matvec_interpret_parity(offsets):
 
 
 @pytest.mark.skipif(not pk.HAVE_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("offsets", [(1, 64, 65), (-1, 1), (-65, -64, -1, 1, 64, 65)])
+def test_dia_matvec_ad_vjp_parity(offsets):
+    """dia_matvec_ad's custom reverse rule must equal jax's AD of the XLA
+    reference, for ALL THREE cotangents (diag, coef, x) — this is the rule
+    that lets the fixed-point adjoint and the unsteady reverse scans
+    differentiate through Pallas-kernel Krylov/smoother loops on TPU."""
+    n = 384
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    diag = jax.random.normal(k1, (n,), jnp.float32) + 5.0
+    coef = jax.random.normal(k2, (len(offsets), n), jnp.float32)
+    x = jax.random.normal(k3, (n,), jnp.float32)
+    ct = jax.random.normal(k4, (n,), jnp.float32)
+
+    _, vjp_k = jax.vjp(
+        lambda d, c, xx: pk.dia_matvec_ad(d, c, offsets, xx,
+                                          interpret=True), diag, coef, x)
+    _, vjp_r = jax.vjp(
+        lambda d, c, xx: pk.dia_matvec_reference(d, c, offsets, xx),
+        diag, coef, x)
+    for a, b in zip(vjp_k(ct), vjp_r(ct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not pk.HAVE_PALLAS, reason="pallas unavailable")
 def test_dia_matvec_matches_fvmatrix_semantics():
     """The kernel semantics must equal matvec_fn's banded path: build a
     small banded FvMatrix and compare against the generic matvec."""

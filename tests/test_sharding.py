@@ -140,6 +140,74 @@ def test_halo_matvec_parity_and_vjp():
                                    rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.slow
+def test_halo_parity_100k_cells():
+    """VERDICT r2 item 3 'Done' bar: sharded-vs-single totals parity at
+    >=100k cells (384x288 = 110,592) through the production halo path.
+
+    Full convergence at this size costs tens of minutes on the CPU test
+    backend, so parity is checked on a DETERMINISTIC fixed-work run
+    instead: every inner solve is a fixed-iteration scan smoother
+    (fvsolve.fixed_inner active at trace time), the primal runs a fixed
+    50 outers, and the adjoint runs fixed Richardson fixed-point sweeps —
+    both paths execute the identical operation sequence, so any
+    difference is exactly the halo path's arithmetic (reduction order
+    only). This is the same claim MPI-vs-serial parity makes in the
+    reference, at reference-relevant scale."""
+    from dafoam_tpu.linalg import fvsolve
+    from dafoam_tpu.parallel import halo
+    from dafoam_tpu.parallel.shard import shard_solver
+
+    assert len(jax.devices()) >= 8
+    pts, topo = box_hex_mesh(384, 288, 1, (0.1, 0.1, 0.01),
+                             kinds={"zmin": "empty", "zmax": "empty",
+                                    "xmin": "wall", "xmax": "wall",
+                                    "ymin": "wall", "ymax": "wall"})
+    topo2, _perm = reorder_for_partitions(topo, pts, 8)
+
+    def build():
+        s = cavity_case(topo2, pts)
+        s.option.set("primalMinResTol", 0.0)
+        s.option.set("primalMaxIters", 50)
+        s.option.set("adjEqnSolMethod", "fixedPoint")
+        s.option.set("adjEqnOption.fpAcceleration", "richardson")
+        s.option.set("adjEqnOption.fpRelTol", 1e-30)
+        s.option.set("adjEqnOption.fpMaxIters", 30)
+        s.option.set("adjEqnOption.fpInnerScale", 0.5)
+        return s
+
+    def run(s):
+        with fvsolve.fixed_inner(1.0):
+            st, _info = s.run_primal(s.init_state(), inputs)
+        J = float(s.run_function("lidF", st, inputs))
+        psibar, _ai = s.solve_adjoint(st, inputs, "lidF")
+        tot = s.total_derivative(st, inputs, "lidF", psibar)
+        return st, J, tot
+
+    ref = build()
+    inputs = ref.make_inputs()
+    st_ref, J_ref, tot_ref = run(ref)
+
+    sol = build()
+    mesh, hm = shard_solver(sol, 8)
+    assert hm.plan.cut_faces > 0
+    try:
+        st, J, tot = run(sol)
+    finally:
+        halo.deactivate(sol.topo)
+
+    np.testing.assert_allclose(np.asarray(st["U"]), np.asarray(st_ref["U"]),
+                               atol=1e-11)
+    assert J == pytest.approx(J_ref, abs=1e-12, rel=1e-10)
+    np.testing.assert_allclose(np.asarray(tot["params"]["nu"]),
+                               np.asarray(tot_ref["params"]["nu"]),
+                               rtol=1e-10, atol=1e-14)
+    scale = max(1.0, float(np.abs(np.asarray(tot_ref["points"])).max()))
+    np.testing.assert_allclose(np.asarray(tot["points"]),
+                               np.asarray(tot_ref["points"]),
+                               rtol=1e-10, atol=1e-10 * scale)
+
+
 def test_halo_production_primal_adjoint_parity():
     """VERDICT r2 item 3: the halo path wired into the PRODUCTION solve —
     parallel.shard.shard_solver routes every LDU matvec (primal smoother
