@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from dafoam_tpu.utils.precision import guard_tiny
+
 from dafoam_tpu.linalg.krylov import bicgstab, cg
 from dafoam_tpu.ops.fvmatrix import FvMatrix, matvec, matvec_fn  # noqa: F401
 
@@ -36,7 +38,7 @@ def _solve_T(m: FvMatrix, r, topo, vol, symmetric=False, iters=15):
     """Approximately solve (M/V)^T x = r:  M^T z = r, x = V z."""
     mt = transpose(m)
     d = mt.diag if mt.diag.ndim == r.ndim else mt.diag[..., None]
-    td = jnp.finfo(d.dtype).tiny
+    td = guard_tiny(d.dtype)
     dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn

@@ -63,10 +63,15 @@ def tzeros_like(x):
 
 
 def _tiny(x):
-    """Smallest normal of x's dtype: breakdown guards must scale with the
-    working precision (1e-300 flushes to 0 in f32; a fixed 1e-36 clamps
-    legitimately tiny f64 dot products 250 orders of magnitude too high)."""
-    return jnp.finfo(jnp.asarray(x).dtype).tiny
+    """Smallest normal of x's dtype ON THE ACTIVE BACKEND: breakdown guards
+    must scale with the working precision (1e-300 flushes to 0 in f32; a
+    fixed 1e-36 clamps legitimately tiny f64 dot products 250 orders of
+    magnitude too high) — and with the backend's exponent range: TPU f64 is
+    double-float emulation where finfo(f64).tiny itself flushes to 0
+    (utils/precision.py), which turned these guards into no-ops and NaN'd
+    the f64-on-TPU adjoint (round-2 VERDICT item 2)."""
+    from dafoam_tpu.utils.precision import guard_tiny
+    return guard_tiny(jnp.asarray(x).dtype)
 
 
 def _identity(x):

@@ -19,6 +19,8 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
+
+from dafoam_tpu.utils.precision import guard_tiny
 from jax import lax
 
 
@@ -68,7 +70,7 @@ def pcr_solve(a, b, c, d):
         bb = _bcast(b, d)
         return d / jnp.where(jnp.abs(bb) > 0, bb, 1.0)
     steps = max(1, math.ceil(math.log2(n)))
-    tiny = jnp.finfo(b.dtype).tiny
+    tiny = guard_tiny(b.dtype)
 
     def safe_div(x, y):
         return x / jnp.where(jnp.abs(y) > tiny, y, 1.0)
@@ -109,7 +111,7 @@ def pcr_solve_periodic(a, b, c, d):
     if n == 1:
         bb = _bcast(b, d)
         return d / jnp.where(jnp.abs(bb) > 0, bb, 1.0)
-    tiny = jnp.finfo(b.dtype).tiny
+    tiny = guard_tiny(b.dtype)
     alpha = a[0]          # corner (0, n-1)
     beta = c[-1]          # corner (n-1, 0)
     # gamma: any nonzero scale; use -b[0] (guarded) for conditioning

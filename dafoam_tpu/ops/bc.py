@@ -25,6 +25,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from dafoam_tpu.utils.precision import guard_tiny
+
 
 class BCoef(NamedTuple):
     vc: jnp.ndarray      # (nb,) or (nb,3) value internal coeff
@@ -219,7 +221,7 @@ def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
             hh = _expand(pr.get("h", 0.0), n, 0, dtype)
             Ta = _expand(pr.get("Ta", 293.0), n, 0, dtype)
             kap = _expand(pr.get("kappa", 1.0), n, 0, dtype)
-            vf = hh / jnp.maximum(hh + kap * dc, 1e-300)
+            vf = hh / jnp.maximum(hh + kap * dc, guard_tiny(dtype))
             vc = (1.0 - vf) * one
             vb = vf * Ta
             gc = -vf * dc_b
@@ -232,7 +234,7 @@ def coeffs(bcspec: dict, values: dict, topo, geom, psi: jnp.ndarray,
             pr = _params(spec, values, p.name)
             q = _expand(pr.get("heatFlux", 0.0), n, 0, dtype)
             aCp = _expand(pr.get("alphaCpEff", 1.0), n, 0, dtype)
-            g = q / jnp.maximum(aCp, 1e-300)
+            g = q / jnp.maximum(aCp, guard_tiny(dtype))
             vc, vb = one, g / dc_b
             gc, gb = zero, g
         else:

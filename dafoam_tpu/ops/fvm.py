@@ -131,8 +131,13 @@ def _limit_correction(corr, orth, limit, psi):
     # denom^2 ~ 1e-60 UNDERFLOWS to 0 in f32 -> 0/0 = NaN tangents at the
     # degenerate (zero-area) dense-layout faces where mag_c == mag_o == 0.
     # The floor keeps denom^2 normal in either precision; where mag_c is
-    # that tiny, corr ~ 0 and the limiter value is irrelevant.
-    tiny = 1e-30 if mag_c.dtype == jnp.float64 else 1e-18
+    # that tiny, corr ~ 0 and the limiter value is irrelevant. On TPU,
+    # f64 runs with f32 EXPONENT RANGE (double-float emulation), so the
+    # floor is backend-aware (utils/precision.sq_guard): the f64 value
+    # 1e-30 squared flushed to 0 on the chip and NaN'd the f64-on-TPU
+    # residual vjp (round-2 VERDICT item 2).
+    from dafoam_tpu.utils.precision import sq_guard
+    tiny = sq_guard(mag_c.dtype)
     lam = jnp.minimum(1.0, limit * mag_o
                       / jnp.maximum((1.0 - limit) * mag_c, tiny))
     return _rank_r(lam, psi) * corr

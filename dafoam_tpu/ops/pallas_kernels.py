@@ -31,6 +31,8 @@ except Exception:  # pragma: no cover
 
 # VMEM budget guard: padded x + K coef rows + diag + y, f32 words
 _VMEM_WORDS = 3_000_000
+# tiled kernel: row-block size (f32 words) — B*(K+3) + 2*(B+lo+hi) VMEM
+_TILE_B = 131_072
 
 
 def dia_matvec_supported(n, n_offsets, dtype) -> bool:
@@ -41,6 +43,23 @@ def dia_matvec_supported(n, n_offsets, dtype) -> bool:
     if dtype not in (jnp.float32, jnp.dtype("float32")):
         return False
     return n * (n_offsets + 3) <= _VMEM_WORDS
+
+
+def dia_matvec_tiled_supported(n, offsets: tuple, dtype,
+                               block: int = _TILE_B) -> bool:
+    """Tiled variant: no upper size cap; needs the per-block window
+    (block + band span) to fit VMEM alongside the coef/diag/out blocks."""
+    if not HAVE_PALLAS or jax.default_backend() != "tpu":
+        return False
+    if dtype not in (jnp.float32, jnp.dtype("float32")):
+        return False
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    k = len(offsets)
+    # double-buffered window (2x) + coef block (K,B) + diag + y, x2 for
+    # pallas pipelining of the BlockSpec operands
+    words = 2 * (block + lo + hi) + 2 * block * (k + 2)
+    return words <= 12_000_000 and n > block
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
@@ -74,6 +93,78 @@ def dia_matvec(diag, coef, offsets: tuple, x, interpret: bool = False):
     )(xp, diag, coef)
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "block", "interpret"))
+def dia_matvec_tiled(diag, coef, offsets: tuple, x,
+                     block: int = _TILE_B, interpret: bool = False):
+    """Grid-tiled DIA matvec for problems past the VMEM-resident cap
+    (VERDICT r2 item 4b: the flat kernel tops out ~700k cells).
+
+    1-D grid over row blocks of size `block`. The padded x stays in HBM
+    (memory_space=ANY); each grid step explicitly DMAs its OVERLAPPING
+    window xp[g*B : g*B + B + lo + hi] into a double-buffered VMEM
+    scratch (BlockSpec tiling cannot express overlapping windows), with
+    the g+1 window prefetched while block g computes. coef/diag/y use
+    plain non-overlapping BlockSpecs (Mosaic auto-pipelines those). Each
+    HBM operand is read exactly once (+ the band-span halo per block), so
+    the kernel stays bandwidth-bound at roofline like the flat one.
+    """
+    if not offsets:
+        return diag * x
+    n = x.shape[0]
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    k = len(offsets)
+    nb = -(-n // block)
+    n_pad = nb * block
+    win = block + lo + hi
+
+    xp = jnp.pad(x, (lo, hi + n_pad - n))
+    dp = jnp.pad(diag, (0, n_pad - n))
+    cp = jnp.pad(coef, ((0, 0), (0, n_pad - n)))
+
+    def kernel(xp_ref, d_ref, c_ref, y_ref, wbuf, sems):
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+
+        def dma(slot, blk):
+            return pltpu.make_async_copy(
+                xp_ref.at[pl.ds(blk * block, win)], wbuf.at[slot],
+                sems.at[slot])
+
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            dma((g + 1) % 2, g + 1).start()
+
+        dma(g % 2, g).wait()
+        xv = wbuf[g % 2]
+        y = d_ref[:] * jax.lax.slice_in_dim(xv, lo, lo + block)
+        for kk, o in enumerate(offsets):
+            y = y + c_ref[kk] * jax.lax.slice_in_dim(xv, lo + o,
+                                                     lo + o + block)
+        y_ref[:] = y
+
+    yp = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((block,), lambda g: (g,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, block), lambda g: (0, g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block,), lambda g: (g,),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, win), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xp, dp, cp)
+    return yp[:n]
+
+
 def dia_matvec_reference(diag, coef, offsets: tuple, x):
     """XLA reference implementation (same semantics), for parity tests."""
     n = x.shape[0]
@@ -103,11 +194,20 @@ def transpose_coef(coef, offsets: tuple):
     return jnp.stack(rows)
 
 
+def dia_matvec_any(diag, coef, offsets: tuple, x, interpret: bool = False):
+    """Size-dispatched Pallas DIA matvec: flat VMEM-resident kernel when
+    the whole problem fits, grid-tiled kernel otherwise (no size cap)."""
+    n = x.shape[0]
+    if not interpret and dia_matvec_supported(n, len(offsets), x.dtype):
+        return dia_matvec(diag, coef, offsets, x)
+    return dia_matvec_tiled(diag, coef, offsets, x, interpret=interpret)
+
+
 @functools.lru_cache(maxsize=None)
 def _dia_ad_factory(offsets: tuple, interpret: bool):
     @jax.custom_vjp
     def f(diag, coef, x):
-        return dia_matvec(diag, coef, offsets, x, interpret=interpret)
+        return dia_matvec_any(diag, coef, offsets, x, interpret=interpret)
 
     def fwd(diag, coef, x):
         return f(diag, coef, x), (diag, coef, x)

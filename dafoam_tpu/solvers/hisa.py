@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from dafoam_tpu.utils.precision import guard_tiny
 import numpy as np
 
 from dafoam_tpu.linalg.krylov import gmres
@@ -814,7 +816,7 @@ class DAHisaFoam(DASolverBase):
                 st3 = jax.tree_util.tree_map(
                     lambda b, s: jnp.where(bad, b, s), best_st, st2)
                 res3 = jnp.where(bad, best_res, rnew)
-                ratio = res / jnp.maximum(rnew, 1e-300)
+                ratio = res / jnp.maximum(rnew, guard_tiny(rnew.dtype))
                 cfl_ser = jnp.clip(cfl * jnp.clip(ratio, 0.3, 2.5),
                                    cfl_min, cfl_max)
                 cfl3 = jnp.where(bad, jnp.maximum(cfl * 0.1, cfl_min),
