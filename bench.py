@@ -52,14 +52,25 @@ def run_naca(nw, nr, iters):
         },
         "initialFields": {"U": uinf, "p": 0.0, "nuTilda": 3 * nu},
         # run TO CONVERGENCE (the adjoint linearizes R(W*)=0; also the
-        # honest workload): tol at the f32 SIMPLE residual floor, capped.
-        # `iters` (BENCH_ITERS) is the floor; BENCH_MAX_ITERS the cap.
+        # honest workload). In f32 the residual-norm has a MEASUREMENT
+        # floor from cancellation in b-Ax (~1e-3 at 512x512: CPU-f64
+        # converges to 2e-7 with the SAME inner caps where TPU-f32 creeps
+        # at 2.6e-4 while CD agrees to 5e-6 — scripts/
+        # tpu_primal_floor_probe.py), so the exit criterion is the
+        # reference's function-std convergence (DASolver::calcFuncStd,
+        # primalFuncStdTol): CD rel-std AND rel-slope over the trailing
+        # 20% window below BENCH_STD_TOL. Residual tol stays as the f64
+        # fast exit.
         "primalMinResTol": float(os.environ.get("BENCH_PRIMAL_TOL", "1e-5")),
+        "primalFuncStdTol": {
+            "stdTol": float(os.environ.get("BENCH_STD_TOL", "1e-5")),
+            "funcNames": ["CD"], "nStepsFrac": 0.2},
         "primalMinIters": iters,
-        "primalMaxIters": int(os.environ.get("BENCH_MAX_ITERS", "2000")),
+        "primalMaxIters": int(os.environ.get("BENCH_MAX_ITERS", "3000")),
         "primalLinearSolver": {"pMaxIters": 50, "pRelTol": 0.05,
                                "uMaxIters": 20, "uRelTol": 0.1,
-                               "turbMaxIters": 20, "turbRelTol": 0.1},
+                               "turbMaxIters": 20, "turbRelTol": 0.1,
+                               "pPC": os.environ.get("BENCH_PPC", "jacobi")},
         "relaxationFactors": {"fields": {"p": 0.2},
                               "equations": {"U": 0.5, "nuTilda": 0.5}},
         "function": {"CD": {"type": "force", "patches": ["wing"],
@@ -101,12 +112,14 @@ def run_naca(nw, nr, iters):
     st, info = solver.run_primal(st0, inputs)
     jax.block_until_ready(st["p"])
     t_primal = time.perf_counter() - t0
-    # a failed primal (NaN/blow-up gate tripped) is a FAILED bench: the
-    # while_loop exits immediately and the timing would be meaningless
-    if bool(info.failed) or int(info.iters) < iters:
+    # a failed/unconverged primal (NaN gate, or neither the residual nor
+    # the CD-std criterion met within the budget) is a FAILED bench
+    if bool(info.failed) or not bool(info.converged) \
+            or int(info.iters) < iters:
         raise RuntimeError(
-            f"primal failed/exited early: iters={int(info.iters)}/{iters} "
-            f"max_res={float(info.max_res):.3e} failed={bool(info.failed)}")
+            f"primal failed/unconverged: iters={int(info.iters)}/{iters} "
+            f"max_res={float(info.max_res):.3e} failed={bool(info.failed)} "
+            f"converged={bool(info.converged)}")
     cd = solver.run_function("CD", st, inputs)
     if not bool(jnp.isfinite(cd)):
         raise RuntimeError("non-finite objective after primal")
@@ -135,7 +148,7 @@ def run_naca(nw, nr, iters):
     fp_tol = solver.option["adjEqnOption"]["fpRelTol"]
     return {
         "metric": f"NACA0012 SA-RANS {nw}x{nr} primal({n_primal} SIMPLE "
-                  f"iters to res {float(info.max_res):.1e})"
+                  f"iters, CONVERGED by CD-std, res {float(info.max_res):.1e})"
                   f"+adjoint(fixedPoint GMRES to relTol {fp_tol:g}, "
                   f"CONVERGED in {int(ai.iters)} iters) wall-clock "
                   f"[{jax.devices()[0].platform}]",

@@ -55,54 +55,8 @@ def _solve_T(m: FvMatrix, r, topo, vol, symmetric=False, iters=15):
 
 # ---------------------------------------------------------------------------
 # Line-implicit (ADI) per-equation solves on the dense-DIA banded layout
+# (machinery shared with the PRIMAL pressure preconditioner: linalg/lines.py)
 # ---------------------------------------------------------------------------
-
-def _line_directions(topo):
-    """Detect the mesh's line directions from the dense-DIA layout.
-
-    Returns a list of dicts, one per solvable direction:
-      {"stride": s, "band": k, "ring": L or None, "seam_band": k2 or None}
-    A direction is a band offset s whose stride-s lines tile the flat index
-    (s divides n_cells). If another band s2 couples only ring-start cells
-    and s + s2 == L with L | n_cells, the stride-s direction is a PERIODIC
-    ring of length L (the O-mesh wrap seam) and the seam band joins its
-    tridiagonal as cyclic corners.
-    """
-    dd = topo.dia_dense()
-    if dd is None:
-        return None
-    offs, valid = dd
-    import numpy as np
-    valid = np.asarray(valid)
-    nc = topo.n_cells
-    dirs = []
-    used_as_seam = set()
-    for k, s in enumerate(offs):
-        if nc % int(s) != 0:
-            continue
-        d = {"stride": int(s), "band": k, "ring": None, "seam_band": None}
-        # look for a seam band s2 = L - s with L | nc and s2-faces only at
-        # cells ≡ 0 (mod L)
-        for k2, s2 in enumerate(offs):
-            L = int(s) + int(s2)
-            if k2 == k or L > nc or nc % L != 0 or int(s2) < int(s):
-                continue
-            mask = valid[k2] > 0
-            idx = np.nonzero(mask)[0]
-            if idx.size and np.all(idx % L == 0):
-                d["ring"] = L
-                d["seam_band"] = k2
-                used_as_seam.add(k2)
-                break
-        dirs.append(d)
-    dirs = [d for d in dirs if d["band"] not in used_as_seam]
-    # strongest (finest-coupling) direction first: smallest stride is the
-    # wrap/in-line neighbour; near-wall anisotropy usually makes the
-    # LARGEST-stride (wall-normal) lines stiffest — order by stride
-    # descending so the first exact solve captures the stiff direction.
-    dirs.sort(key=lambda d: -d["stride"])
-    return dirs or None
-
 
 def line_solver_T(m: FvMatrix, topo, geom, adi_sweeps=1):
     """Exact-by-lines approximate inverse of (M/V)^T.
@@ -110,75 +64,24 @@ def line_solver_T(m: FvMatrix, topo, geom, adi_sweeps=1):
     Builds, for every detected mesh direction, the tridiagonal restriction
     of M^T (diag + that direction's sub/super bands, plus periodic seam
     corners when present) and solves it EXACTLY with batched PCR
-    (linalg.tridiag). Directions are combined ADI-style: each subsequent
-    direction solves the updated residual r - M^T z. This is the TPU
-    analogue of the reference's ILU(1)+ASM local solves
-    (pyDAFoam.py:526-548) — a strong, fully parallel local inverse.
+    (linalg.tridiag), directions combined ADI-style — see
+    linalg/lines.line_solver, applied here to transpose(m) with the /V
+    normalization the adjoint operator carries. This is the TPU analogue
+    of the reference's ILU(1)+ASM local solves (pyDAFoam.py:526-548).
 
     Returns callable r -> x ~ ((M/V)^T)^{-1} r, or None when the mesh has
     no dense-DIA layout (caller falls back to the Krylov-sweep PC).
     """
-    dirs = _line_directions(topo)
-    if not dirs:
-        return None
-    from dafoam_tpu.linalg.tridiag import pcr_solve, pcr_solve_periodic
+    from dafoam_tpu.linalg.lines import line_solver
 
-    nc = topo.n_cells
     mt = transpose(m)
-    # dense layout: face k*nc + c connects c -> c + offs[k]
-    # M^T super-diagonal (row i, col i+s) = M.lower[band k, cell i]
-    # M^T sub-diagonal   (row i, col i-s) = M.upper[band k, cell i-s]
-    lo_k = mt.upper.reshape(-1, nc)   # mt.upper == m.lower
-    up_k = mt.lower.reshape(-1, nc)   # mt.lower == m.upper
-
-    solves = []
-    for d in dirs:
-        s, k = d["stride"], d["band"]
-        sup = lo_k[k]                         # coef of x[i+s] in row i
-        sub = jnp.pad(up_k[k], (s, 0))[:nc]   # coef of x[i-s] in row i
-        if d["ring"] is not None:
-            L, k2 = d["ring"], d["seam_band"]
-            nrings = nc // L
-            # rings are contiguous runs of length L with stride s == 1
-            a = sub.reshape(nrings, L).T           # (L, nrings)
-            c = sup.reshape(nrings, L).T
-            # cyclic corners from the seam band: row ring*L has coef of
-            # x[ring*L + L-1] = lower[k2] at ring starts; row ring*L+L-1
-            # has coef of x[ring*L] = upper[k2] at ring starts
-            a = a.at[0].set(lo_k[k2].reshape(nrings, L)[:, 0])
-            c = c.at[-1].set(up_k[k2].reshape(nrings, L)[:, 0])
-            solves.append(("ring", L, nrings, a, c, pcr_solve_periodic))
-        else:
-            nlines = nc // s
-            a = sub.reshape(nlines, s)             # axis 0 = along line
-            c = sup.reshape(nlines, s)
-            solves.append(("line", s, nlines, a, c, pcr_solve))
-
-    diag = mt.diag
-    mv = matvec_fn(mt, topo)
-
-    def _dir_solve(entry, r):
-        kind, s, n0, a, c, fn = entry
-        extra = r.shape[1:]           # () or (3,)
-        if kind == "ring":
-            L, nrings = s, n0
-            b = diag.reshape((nrings, L) + extra)
-            b = jnp.moveaxis(b, 1, 0)
-            d_ = jnp.moveaxis(r.reshape((nrings, L) + extra), 1, 0)
-            z = fn(a, b, c, d_)
-            return jnp.moveaxis(z, 0, 1).reshape(r.shape)
-        nlines = n0
-        b = diag.reshape((nlines, s) + extra)
-        d_ = r.reshape((nlines, s) + extra)
-        z = fn(a, b, c, d_)
-        return z.reshape(r.shape)
+    base = line_solver(mt, topo, adi_sweeps=adi_sweeps,
+                       matvec=matvec_fn(mt, topo))
+    if base is None:
+        return None
 
     def solve(r):
-        z = _dir_solve(solves[0], r)
-        for _ in range(adi_sweeps):
-            for entry in solves[1:] + (solves[:1] if adi_sweeps > 1 else []):
-                rho = r - mv(z)
-                z = z + _dir_solve(entry, rho)
+        z = base(r)
         v = geom.vol if r.ndim == 1 else geom.vol[:, None]
         return v * z
 

@@ -27,6 +27,21 @@ def _diag_like(m: FvMatrix, psi):
     return d
 
 
+def _component_major_ok(m: FvMatrix, psi0, topo) -> bool:
+    """Vector (nc,C) solves run TRANSPOSED, component-major (C,nc), inside
+    the Krylov loop: (nc,3) occupies 3 of 128 VPU lanes on TPU and
+    lane-pads every HBM tile, so all momentum matvecs/dots/axpys run far
+    below peak; (C,nc) keeps full lanes. Entry/exit transposes are
+    amortized over all iterations. Needs the banded layout with scalar
+    shared bands; the halo (multi-chip) route keeps cell-major."""
+    if psi0.ndim != 2 or m.diag.ndim != 1:
+        return False
+    from dafoam_tpu.ops.fvmatrix import _active_halo
+    if _active_halo(topo) is not None:
+        return False
+    return topo.dia() is not None
+
+
 # Trace-scoped switch: inside fixed_inner(), every fvsolve.solve — in the
 # solver's own step AND inside turbulence-model correct()s — dispatches to
 # solve_fixed with n_iters = scale * max_iters. The fixed-point adjoint
@@ -47,8 +62,18 @@ def fixed_inner(scale: float = 1.0, smoother: str = "linear"):
 
 def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
           abs_tol=1e-50, max_iters=500, rhs=None,
-          trans_rel_tol=None, trans_max_iters=None):
+          trans_rel_tol=None, trans_max_iters=None, pc: str = "jacobi"):
     """Solve M x = source (+rhs) starting from psi0. Returns (x, SolveInfo).
+
+    pc="line" (primalLinearSolver.pPC) preconditions with exact ADI line
+    solves on the dense-DIA layout (linalg/lines.py) — the GAMG-class
+    strength the pressure equation needs at scale: Jacobi-CG requires
+    O(N^(1/2)) iterations on a 2-D Poisson operator, so at 512x512 the
+    per-outer pressure tolerance is unreachable within any sane budget
+    and SIMPLE creeps (scripts/tpu_primal_floor_probe.py: ~1 residual
+    decade per 10k outers). The ADI sweep is nonsymmetric, so the solver
+    switches to BiCGStab even for symmetric systems. Falls back to
+    Jacobi when the mesh has no dense-DIA layout.
 
     Wrapped in ``lax.custom_linear_solve`` so the whole primal step is
     REVERSE-differentiable: the cotangent of x = M^-1 b is computed by the
@@ -75,7 +100,12 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
         return x, SolveInfo(jnp.asarray(n), zero, zero, jnp.asarray(True))
 
     b = m.source if rhs is None else m.source + rhs
-    d = _diag_like(m, psi0)
+    cm = _component_major_ok(m, psi0, topo)
+    if cm:
+        b = b.T
+        d = m.diag[None, :]
+    else:
+        d = _diag_like(m, psi0)
     td = guard_tiny(d.dtype)
     dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
@@ -84,16 +114,33 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
     # TRANSPOSABLE by jax (the primitive transposes it eagerly at trace
     # time) — pallas closures are not; the fast kernel is used inside the
     # forward solver loop instead (fwd below), which is a black box to AD
-    mv = matvec_fn(m, topo, pallas=False)
-    mv_fast = matvec_fn(m, topo)
+    mv = matvec_fn(m, topo, pallas=False, component_major=cm)
+    mv_fast = matvec_fn(m, topo, component_major=cm)
 
     def prec(r):
         return dinv * r
 
+    prec_t = prec
     solver = cg if symmetric else bicgstab
+    if pc == "line":
+        from dafoam_tpu.linalg.lines import line_directions, line_solver
+        if line_directions(topo):
+            # the line PC operates in CELL-major space; wrap for cm.
+            # stop_gradient: the PC only shapes the iterate path, and
+            # differentiating PCR's guarded divides is wasted tape.
+            sg = jax.lax.stop_gradient
+            mline = m._replace(diag=sg(m.diag), lower=sg(m.lower),
+                               upper=sg(m.upper))
+            lp = line_solver(mline, topo)
+            prec = (lambda r: lp(r.T).T) if cm else lp
+            from dafoam_tpu.adjoint.precond import transpose
+            lpt = line_solver(transpose(mline), topo)
+            prec_t = (lambda r: lpt(r.T).T) if cm else lpt
+            solver = bicgstab  # ADI sweep is nonsymmetric
+
     # stop_gradient: psi0/preconditioner influence only the iterate path,
     # not the solution the implicit rule differentiates
-    x0 = jax.lax.stop_gradient(psi0)
+    x0 = jax.lax.stop_gradient(psi0.T if cm else psi0)
 
     def fwd(matvec_f, bb):
         # matvec_f == mv semantically; the closed-over fast closure may
@@ -107,13 +154,16 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
         else trans_max_iters
 
     def trans(vecmat_f, bb):
-        # diag(M^T) == diag(M): reuse the Jacobi preconditioner
-        x, _ = solver(vecmat_f, bb, precond=prec, rel_tol=t_rel,
+        # diag(M^T) == diag(M): Jacobi carries over; the line PC uses the
+        # transposed band restriction
+        x, _ = solver(vecmat_f, bb, precond=prec_t, rel_tol=t_rel,
                       abs_tol=abs_tol, max_iters=t_max)
         return x
 
     x = jax.lax.custom_linear_solve(mv, b, fwd, transpose_solve=trans,
                                     symmetric=symmetric)
+    if cm:
+        x = x.T
     # per-solve iteration stats cannot escape the custom_linear_solve
     # primitive; outer-loop convergence control uses
     # initial_residual_norm, so no caller needs them (and recomputing the
@@ -151,23 +201,31 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
     (stronger contraction per step; f64-safe).
     """
     b = m.source if rhs is None else m.source + rhs
-    d = _diag_like(m, psi0)
+    cm = _component_major_ok(m, psi0, topo)
+    x0 = psi0.T if cm else psi0
+    if cm:
+        b = b.T
+        d = m.diag[None, :]
+    else:
+        d = _diag_like(m, psi0)
     td = guard_tiny(d.dtype)
     dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
-    mv = matvec_fn(m, topo)
+    mv = matvec_fn(m, topo, component_major=cm)
 
     if smoother == "linear":
-        r0 = b - mv(psi0)
+        r0 = b - mv(x0)
         step_fn = chebyshev_steps if symmetric else jacobi_steps
-        return psi0 + step_fn(mv, dinv, r0, n_steps=int(n_iters))
+        x = x0 + step_fn(mv, dinv, r0, n_steps=int(n_iters))
+        return x.T if cm else x
 
     def prec(r):
         return dinv * r
 
     stepper = cg_steps if symmetric else bicgstab_steps
-    return stepper(mv, b, x0=psi0, precond=prec, n_steps=int(n_iters))
+    x = stepper(mv, b, x0=x0, precond=prec, n_steps=int(n_iters))
+    return x.T if cm else x
 
 
 def initial_residual_norm(m: FvMatrix, psi, topo, rhs=None):

@@ -115,7 +115,8 @@ def matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
     return d * psi + offdiag_matvec(m, psi, topo)
 
 
-def matvec_fn(m: FvMatrix, topo, pallas: bool = True):
+def matvec_fn(m: FvMatrix, topo, pallas: bool = True,
+              component_major: bool = False):
     """Return a matvec closure with the coefficient layout precomputed.
 
     Preferred inside Krylov loops: when the renumbered mesh is banded
@@ -133,14 +134,23 @@ def matvec_fn(m: FvMatrix, topo, pallas: bool = True):
     transposable — observed as jax hijax 'must override' on the axon TPU
     plugin), and (b) anything forward-mode differentiated (custom_vjp
     blocks jvp).
+
+    component_major=True returns a closure over (C, n) operands with the
+    SHARED scalar bands (vector equations, e.g. momentum): the TPU-native
+    Krylov layout — (nc,3) occupies 3 of 128 VPU lanes and lane-pads every
+    HBM tile; (C,nc) keeps full lanes. Callers (fvsolve.solve) transpose
+    once at solve entry/exit. Only available on the banded (dia) path
+    with scalar coefficients; never combined with the halo route.
     """
     hm = _active_halo(topo)
     if hm is not None:
         # multi-chip route: every Krylov inner iteration is one shard_map
         # halo matvec (comm = ppermutes proportional to the partition cut)
+        assert not component_major
         return lambda x: hm(m.diag, m.lower, m.upper, x)
     dia = topo.dia()
     if dia is None:
+        assert not component_major
         return lambda x: matvec(m, x, topo)
     offsets, face_idx, kind = dia
     nc = topo.n_cells
@@ -172,8 +182,24 @@ def matvec_fn(m: FvMatrix, topo, pallas: bool = True):
     # operand instead of one per band — see ops/pallas_kernels.py)
     from dafoam_tpu.ops import pallas_kernels as pk
     offs_t = tuple(int(o) for o in offsets.tolist())
-    use_pallas = (pallas and d0.ndim == 1
-                  and pk.dia_matvec_supported(nc, len(offs_t), d0.dtype))
+    on_tpu = pk.HAVE_PALLAS and jax.default_backend() == "tpu"
+    use_pallas = pallas and d0.ndim == 1 and on_tpu \
+        and d0.dtype in (jnp.float32, jnp.dtype("float32"))
+
+    if component_major:
+        assert d0.ndim == 1, "component-major needs scalar bands"
+
+        def mv_t(x):  # x (C, n)
+            if use_pallas and x.dtype == d0.dtype:
+                return pk.dia_matvec_multi_ad(d0, coef, offs_t, x)
+            y = d0[None, :] * x
+            xp = jnp.pad(x, ((0, 0), (lo, hi)))
+            for i, o in enumerate(offsets.tolist()):
+                y = y + coef[i][None, :] * jax.lax.slice_in_dim(
+                    xp, lo + o, lo + o + nc, axis=1)
+            return y
+
+        return mv_t
 
     def mv(x):
         if use_pallas and x.ndim == 1 and x.dtype == d0.dtype:

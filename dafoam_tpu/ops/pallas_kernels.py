@@ -165,6 +165,163 @@ def dia_matvec_tiled(diag, coef, offsets: tuple, x,
     return yp[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def dia_matvec_multi(diag, coef, offsets: tuple, x, interpret: bool = False):
+    """Component-major banded matvec: x (C, n) -> y (C, n) with SHARED
+    scalar bands (the momentum equation: one lduMatrix applied to every
+    velocity component, reference UEqnSimple.H).
+
+    Component-major is the TPU-native layout for vector fields inside
+    Krylov loops: (nc,3) uses 3 of 128 VPU lanes and lane-pads every HBM
+    tile, (C,nc) keeps full lanes (fvsolve.solve transposes at solve
+    entry/exit, amortized over all iterations). Whole problem
+    VMEM-resident; see dia_matvec_multi_tiled for the gridded variant.
+    """
+    c, n = x.shape
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    xp = jnp.pad(x, ((0, 0), (lo, hi)))
+
+    def kernel(xp_ref, d_ref, c_ref, y_ref):
+        xv = xp_ref[:]
+        y = d_ref[:][None, :] * jax.lax.slice_in_dim(xv, lo, lo + n, axis=1)
+        for k, o in enumerate(offsets):
+            y = y + c_ref[k][None, :] * jax.lax.slice_in_dim(
+                xv, lo + o, lo + o + n, axis=1)
+        y_ref[:] = y
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, n), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, diag, coef)
+
+
+def dia_matvec_multi_supported(n, c, n_offsets, dtype) -> bool:
+    if not HAVE_PALLAS or jax.default_backend() != "tpu":
+        return False
+    if dtype not in (jnp.float32, jnp.dtype("float32")):
+        return False
+    return n * (2 * c + n_offsets + 1) <= _VMEM_WORDS
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "block", "interpret"))
+def dia_matvec_multi_tiled(diag, coef, offsets: tuple, x,
+                           block: int = _TILE_B, interpret: bool = False):
+    """Grid-tiled component-major banded matvec (x (C, n), no size cap).
+    Same double-buffered HBM->VMEM window scheme as dia_matvec_tiled."""
+    if not offsets:
+        return diag[None, :] * x
+    c, n = x.shape
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    k = len(offsets)
+    nb = -(-n // block)
+    n_pad = nb * block
+    win = block + lo + hi
+
+    xp = jnp.pad(x, ((0, 0), (lo, hi + n_pad - n)))
+    dp = jnp.pad(diag, (0, n_pad - n))
+    cp = jnp.pad(coef, ((0, 0), (0, n_pad - n)))
+
+    def kernel(xp_ref, d_ref, c_ref, y_ref, wbuf, sems):
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+
+        def dma(slot, blk):
+            return pltpu.make_async_copy(
+                xp_ref.at[:, pl.ds(blk * block, win)], wbuf.at[slot],
+                sems.at[slot])
+
+        @pl.when(g == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            dma((g + 1) % 2, g + 1).start()
+
+        dma(g % 2, g).wait()
+        xv = wbuf[g % 2]
+        y = d_ref[:][None, :] * jax.lax.slice_in_dim(xv, lo, lo + block,
+                                                     axis=1)
+        for kk, o in enumerate(offsets):
+            y = y + c_ref[kk][None, :] * jax.lax.slice_in_dim(
+                xv, lo + o, lo + o + block, axis=1)
+        y_ref[:] = y
+
+    yp = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((c, n_pad), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((block,), lambda g: (g,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, block), lambda g: (0, g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, block), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, c, win), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xp, dp, cp)
+    return yp[:, :n]
+
+
+def dia_matvec_multi_any(diag, coef, offsets: tuple, x,
+                         interpret: bool = False):
+    c, n = x.shape
+    if not interpret and dia_matvec_multi_supported(n, c, len(offsets),
+                                                    x.dtype):
+        return dia_matvec_multi(diag, coef, offsets, x)
+    return dia_matvec_multi_tiled(diag, coef, offsets, x,
+                                  interpret=interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _dia_multi_ad_factory(offsets: tuple, interpret: bool):
+    @jax.custom_vjp
+    def f(diag, coef, x):
+        return dia_matvec_multi_any(diag, coef, offsets, x,
+                                    interpret=interpret)
+
+    def fwd(diag, coef, x):
+        return f(diag, coef, x), (diag, coef, x)
+
+    def bwd(res, ct):
+        diag, coef, x = res
+        n = x.shape[1]
+        lo = max(0, -min(offsets)) if offsets else 0
+        hi = max(0, max(offsets)) if offsets else 0
+        offs_t = tuple(-o for o in offsets)
+        x_bar = dia_matvec_multi_any(diag, transpose_coef(coef, offsets),
+                                     offs_t, ct, interpret=interpret)
+        diag_bar = jnp.sum(ct * x, axis=0)
+        xp = jnp.pad(x, ((0, 0), (lo, hi)))
+        coef_bar = jnp.stack(
+            [jnp.sum(ct * jax.lax.slice_in_dim(xp, lo + o, lo + o + n,
+                                               axis=1), axis=0)
+             for o in offsets]) if offsets else jnp.zeros_like(coef)
+        return diag_bar, coef_bar, x_bar
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def dia_matvec_multi_ad(diag, coef, offsets: tuple, x,
+                        interpret: bool = False):
+    """Reverse-differentiable component-major Pallas DIA matvec (see
+    dia_matvec_ad; same band-transpose rule, cotangents summed over the
+    shared-band component axis)."""
+    return _dia_multi_ad_factory(tuple(int(o) for o in offsets),
+                                 bool(interpret))(diag, coef, x)
+
+
 def dia_matvec_reference(diag, coef, offsets: tuple, x):
     """XLA reference implementation (same semantics), for parity tests."""
     n = x.shape[0]

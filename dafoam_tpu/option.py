@@ -128,6 +128,11 @@ _DEFAULTS: dict[str, Any] = {
     "primalLinearSolver": {
         "pMaxIters": 500, "pRelTol": 0.01, "uMaxIters": 100, "uRelTol": 0.1,
         "turbMaxIters": 100, "turbRelTol": 0.1, "pAbsTol": 1e-20,
+        # pressure preconditioner: "jacobi" (diag) or "line" (exact ADI
+        # line solves on the dense-DIA layout — the GAMG-class strength
+        # needed at scale; see linalg/lines.py). "line" switches the
+        # pressure Krylov to BiCGStab (the ADI sweep is nonsymmetric).
+        "pPC": "jacobi",
     },
     # ---- parallel -----------------------------------------------------------
     "decomposeParDict": {"method": "scotch", "nProcessors": 1},

@@ -388,7 +388,8 @@ class DASimpleFoam(DASolverBase):
             res_p = fvsolve.initial_residual_norm(pM, p, topo)
             p_new, _ = fvsolve.solve(pM, p, topo, symmetric=True,
                                      rel_tol=lin["pRelTol"],
-                                     max_iters=lin["pMaxIters"])
+                                     max_iters=lin["pMaxIters"],
+                                     pc=lin.get("pPC", "jacobi"))
             phi_new = phiHbyA - fvm.laplacian_flux(geom, topo, rAU_f, p_new,
                                                    p_bco)
             # explicit pressure relaxation, then momentum corrector

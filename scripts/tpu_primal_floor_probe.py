@@ -7,9 +7,16 @@ trajectory on the chip so we can tell a stall/limit-cycle (PC/relaxation
 problem) from an f32 residual floor (tolerance problem) from slow-but-
 converging (budget problem).
 
-Env: PROBE_NW/PROBE_NR (default 512x512), PROBE_ITERS (default 4000).
+The axon PJRT plugin does not support host callbacks (jax.debug.print),
+so the trajectory is sampled by running CHUNK-iteration segments of the
+same while_loop, warm-starting each from the last (identical arithmetic
+to one long run except the convergence-check boundaries).
+
+Env: PROBE_NW/PROBE_NR (default 512x512), PROBE_CHUNK (250),
+PROBE_CHUNKS (16), PROBE_RELAX_P / PROBE_RELAX_U to test relaxation.
 """
 
+import json
 import os
 import sys
 
@@ -17,10 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    import json
-
     import jax
 
+    if os.environ.get("PROBE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("PROBE_X64") == "1":
+        jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
     from dafoam_tpu.mesh.airfoil import omesh_naca0012
@@ -28,7 +37,10 @@ def main():
 
     nw = int(os.environ.get("PROBE_NW", "512"))
     nr = int(os.environ.get("PROBE_NR", "512"))
-    iters = int(os.environ.get("PROBE_ITERS", "4000"))
+    chunk = int(os.environ.get("PROBE_CHUNK", "250"))
+    n_chunks = int(os.environ.get("PROBE_CHUNKS", "16"))
+    relax_p = float(os.environ.get("PROBE_RELAX_P", "0.2"))
+    relax_u = float(os.environ.get("PROBE_RELAX_U", "0.5"))
 
     nu = 1e-3
     uinf = [1.0, 0.0, 0.0]
@@ -47,30 +59,42 @@ def main():
                         "wing": {"type": "fixedValue", "value": 0.0}},
         },
         "initialFields": {"U": uinf, "p": 0.0, "nuTilda": 3 * nu},
-        "primalMinResTol": 1e-12, "primalMinIters": 10,
-        "primalMaxIters": iters,
-        "primalLinearSolver": {"pMaxIters": 50, "pRelTol": 0.05,
-                               "uMaxIters": 20, "uRelTol": 0.1,
-                               "turbMaxIters": 20, "turbRelTol": 0.1},
-        "relaxationFactors": {"fields": {"p": 0.2},
-                              "equations": {"U": 0.5, "nuTilda": 0.5}},
+        "primalMinResTol": 0.0,
+        "primalMinIters": chunk, "primalMaxIters": chunk,
+        "primalLinearSolver": {
+            "pMaxIters": int(os.environ.get("PROBE_PMAX", "50")),
+            "pRelTol": float(os.environ.get("PROBE_PTOL", "0.05")),
+            "pPC": os.environ.get("PROBE_PPC", "jacobi"),
+            "uMaxIters": 20, "uRelTol": 0.1,
+            "turbMaxIters": 20, "turbRelTol": 0.1},
+        "meshFaceLayout": os.environ.get("PROBE_LAYOUT", "auto"),
+        "relaxationFactors": {"fields": {"p": relax_p},
+                              "equations": {"U": relax_u, "nuTilda": 0.5}},
         "function": {"CD": {"type": "force", "patches": ["wing"],
                             "directionMode": "fixedDirection",
                             "direction": [1.0, 0.0, 0.0], "scale": 1.0}},
         "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
                             "nuTilda": 3 * nu},
-        "printToScreen": True, "printInterval": 100,
     }
     solver = make_solver(opts, topo, pts)
     inputs = solver.make_inputs()
-    st, info = solver.run_primal(solver.init_state(), inputs)
-    jax.block_until_ready(st["p"])
+    st = solver.init_state()
+    traj = []
+    for c in range(n_chunks):
+        st, info = solver.run_primal(st, inputs)
+        res = float(info.max_res)
+        traj.append(res)
+        print(f"[{(c + 1) * chunk:5d} iters] maxRes = {res:.6e}",
+              file=sys.stderr, flush=True)
+        if not bool(jax.numpy.all(jax.numpy.isfinite(st["p"]))):
+            print("NON-FINITE state", file=sys.stderr, flush=True)
+            break
     cd = float(solver.run_function("CD", st, inputs))
     print(json.dumps({
         "platform": jax.devices()[0].platform,
-        "cells": topo.n_cells, "iters": int(info.iters),
-        "max_res": float(info.max_res), "failed": bool(info.failed),
-        "CD": cd}))
+        "cells": topo.n_cells, "chunk": chunk,
+        "relax_p": relax_p, "relax_u": relax_u,
+        "traj": traj, "CD": cd}))
 
 
 if __name__ == "__main__":
