@@ -116,9 +116,12 @@ def dia_matvec_tiled(diag, coef, offsets: tuple, x,
     k = len(offsets)
     nb = -(-n // block)
     n_pad = nb * block
-    win = block + lo + hi
+    # Mosaic tiles 1-D VMEM memrefs in 1024-element lanes; the scratch-row
+    # slice wbuf.at[slot] and the DMA window length must be 1024-aligned
+    win = -(-(block + lo + hi) // 1024) * 1024
+    xp_len = (nb - 1) * block + win   # last window must stay in bounds
 
-    xp = jnp.pad(x, (lo, hi + n_pad - n))
+    xp = jnp.pad(x, (lo, xp_len - lo - n))
     dp = jnp.pad(diag, (0, n_pad - n))
     cp = jnp.pad(coef, ((0, 0), (0, n_pad - n)))
 
@@ -126,10 +129,14 @@ def dia_matvec_tiled(diag, coef, offsets: tuple, x,
         g = pl.program_id(0)
         ng = pl.num_programs(0)
 
+        # double buffer flattened into ONE VMEM row: Mosaic refuses
+        # sublane-unaligned slot slices of a (2, win) scratch, but
+        # slot*win offsets in a (2*win,) scratch are 1024-aligned
         def dma(slot, blk):
+            off = pl.multiple_of(slot * win, 1024)
             return pltpu.make_async_copy(
-                xp_ref.at[pl.ds(blk * block, win)], wbuf.at[slot],
-                sems.at[slot])
+                xp_ref.at[pl.ds(blk * block, win)],
+                wbuf.at[pl.ds(off, win)], sems.at[slot])
 
         @pl.when(g == 0)
         def _():
@@ -140,7 +147,7 @@ def dia_matvec_tiled(diag, coef, offsets: tuple, x,
             dma((g + 1) % 2, g + 1).start()
 
         dma(g % 2, g).wait()
-        xv = wbuf[g % 2]
+        xv = wbuf[pl.ds(pl.multiple_of((g % 2) * win, 1024), win)]
         y = d_ref[:] * jax.lax.slice_in_dim(xv, lo, lo + block)
         for kk, o in enumerate(offsets):
             y = y + c_ref[kk] * jax.lax.slice_in_dim(xv, lo + o,
@@ -158,7 +165,7 @@ def dia_matvec_tiled(diag, coef, offsets: tuple, x,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((block,), lambda g: (g,),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, win), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * win,), x.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(xp, dp, cp)
@@ -214,7 +221,13 @@ def dia_matvec_multi_supported(n, c, n_offsets, dtype) -> bool:
 def dia_matvec_multi_tiled(diag, coef, offsets: tuple, x,
                            block: int = _TILE_B, interpret: bool = False):
     """Grid-tiled component-major banded matvec (x (C, n), no size cap).
-    Same double-buffered HBM->VMEM window scheme as dia_matvec_tiled."""
+
+    Grid = (C, nb): Mosaic rejects DMAs that slice the 3-row component
+    dim of a (C, N) memref (sublane tiling), so x is flattened to one
+    (C*xp_len,) HBM row and every window DMA is 1-D and 1024-aligned —
+    the same double-buffered scheme as dia_matvec_tiled, restarted per
+    component. coef/diag blocks are re-fetched per component (the price
+    of the alignment rule; ~64% of the fused-read ideal at C=3, K=6)."""
     if not offsets:
         return diag[None, :] * x
     c, n = x.shape
@@ -223,62 +236,77 @@ def dia_matvec_multi_tiled(diag, coef, offsets: tuple, x,
     k = len(offsets)
     nb = -(-n // block)
     n_pad = nb * block
-    win = block + lo + hi
+    # lane-aligned window (see dia_matvec_tiled: Mosaic 1024-tiling)
+    win = -(-(block + lo + hi) // 1024) * 1024
+    xp_len = (nb - 1) * block + win   # multiple of 1024 by construction
 
-    xp = jnp.pad(x, ((0, 0), (lo, hi + n_pad - n)))
+    xp = jnp.pad(x, ((0, 0), (lo, xp_len - lo - n))).reshape(-1)
     dp = jnp.pad(diag, (0, n_pad - n))
     cp = jnp.pad(coef, ((0, 0), (0, n_pad - n)))
 
     def kernel(xp_ref, d_ref, c_ref, y_ref, wbuf, sems):
-        g = pl.program_id(0)
-        ng = pl.num_programs(0)
+        ci = pl.program_id(0)
+        blk = pl.program_id(1)
+        nblk = pl.num_programs(1)
 
-        def dma(slot, blk):
+        def dma(slot, b):
+            off = pl.multiple_of(slot * win, 1024)
+            src = pl.multiple_of(ci * xp_len + b * block, 1024)
             return pltpu.make_async_copy(
-                xp_ref.at[:, pl.ds(blk * block, win)], wbuf.at[slot],
-                sems.at[slot])
+                xp_ref.at[pl.ds(src, win)],
+                wbuf.at[pl.ds(off, win)], sems.at[slot])
 
-        @pl.when(g == 0)
+        @pl.when(blk == 0)           # warm-up restarts per component
         def _():
             dma(0, 0).start()
 
-        @pl.when(g + 1 < ng)
+        @pl.when(blk + 1 < nblk)
         def _():
-            dma((g + 1) % 2, g + 1).start()
+            dma((blk + 1) % 2, blk + 1).start()
 
-        dma(g % 2, g).wait()
-        xv = wbuf[g % 2]
-        y = d_ref[:][None, :] * jax.lax.slice_in_dim(xv, lo, lo + block,
-                                                     axis=1)
+        dma(blk % 2, blk).wait()
+        xv = wbuf[pl.ds(pl.multiple_of((blk % 2) * win, 1024), win)]
+        y = d_ref[:] * jax.lax.slice_in_dim(xv, lo, lo + block)
         for kk, o in enumerate(offsets):
-            y = y + c_ref[kk][None, :] * jax.lax.slice_in_dim(
-                xv, lo + o, lo + o + block, axis=1)
+            y = y + c_ref[kk] * jax.lax.slice_in_dim(xv, lo + o,
+                                                     lo + o + block)
         y_ref[:] = y
 
+    # output flattened row-major: block (ci, blk) lands at element offset
+    # ci*n_pad + blk*block = block-index ci*nb + blk of a (c*n_pad,) array
+    # (a (1, block) 2-D block would violate the sublane-divisibility rule)
     yp = pl.pallas_call(
         kernel,
-        grid=(nb,),
-        out_shape=jax.ShapeDtypeStruct((c, n_pad), x.dtype),
+        grid=(c, nb),
+        out_shape=jax.ShapeDtypeStruct((c * n_pad,), x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec((block,), lambda g: (g,),
+                  pl.BlockSpec((block,), lambda ci, blk: (blk,),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, block), lambda g: (0, g),
+                  pl.BlockSpec((k, block), lambda ci, blk: (0, blk),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((c, block), lambda g: (0, g),
+        out_specs=pl.BlockSpec((block,), lambda ci, blk: (ci * nb + blk,),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, c, win), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * win,), x.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(xp, dp, cp)
-    return yp[:, :n]
+    return yp.reshape(c, n_pad)[:, :n]
 
 
 def dia_matvec_multi_any(diag, coef, offsets: tuple, x,
                          interpret: bool = False):
+    """Size-dispatched component-major matvec: fused flat kernel when the
+    whole (C,n) problem fits VMEM; per-component flat kernel when each
+    scalar problem fits (coef re-read C times but every pass is the
+    proven VMEM-resident kernel); grid-tiled otherwise."""
     c, n = x.shape
-    if not interpret and dia_matvec_multi_supported(n, c, len(offsets),
-                                                    x.dtype):
-        return dia_matvec_multi(diag, coef, offsets, x)
+    k = len(offsets)
+    if not interpret:
+        if dia_matvec_multi_supported(n, c, k, x.dtype):
+            return dia_matvec_multi(diag, coef, offsets, x)
+        if dia_matvec_supported(n, k, x.dtype):
+            return jnp.stack([dia_matvec(diag, coef, offsets, x[ci])
+                              for ci in range(c)])
     return dia_matvec_multi_tiled(diag, coef, offsets, x,
                                   interpret=interpret)
 
