@@ -56,17 +56,15 @@ def run_naca(nw, nr, iters):
         # floor from cancellation in b-Ax (~1e-3 at 512x512: CPU-f64
         # converges to 2e-7 with the SAME inner caps where TPU-f32 creeps
         # at 2.6e-4 while CD agrees to 5e-6 — scripts/
-        # tpu_primal_floor_probe.py), so the exit criterion is the
-        # reference's function-std convergence (DASolver::calcFuncStd,
-        # primalFuncStdTol): CD rel-std AND rel-slope over the trailing
-        # 20% window below BENCH_STD_TOL. Residual tol stays as the f64
-        # fast exit.
-        "primalMinResTol": float(os.environ.get("BENCH_PRIMAL_TOL", "1e-5")),
-        "primalFuncStdTol": {
-            "stdTol": float(os.environ.get("BENCH_STD_TOL", "1e-5")),
-            "funcNames": ["CD"], "nStepsFrac": 0.2},
-        "primalMinIters": iters,
-        "primalMaxIters": int(os.environ.get("BENCH_MAX_ITERS", "3000")),
+        # tpu_primal_floor_probe.py), so convergence is judged on the
+        # OBJECTIVE like the reference's calcFuncStd: the bench runs
+        # fixed `chunk`-iteration device calls and exits when the
+        # relative CD drift per chunk falls below BENCH_STD_TOL twice in
+        # a row. Chunking from the host (instead of primalFuncStdTol's
+        # in-loop window) also sidesteps an axon-tunnel fault observed on
+        # very long tracked device calls, and gives progress markers.
+        "primalMinResTol": 0.0,
+        "primalMinIters": iters, "primalMaxIters": iters,
         "primalLinearSolver": {"pMaxIters": 50, "pRelTol": 0.05,
                                "uMaxIters": 20, "uRelTol": 0.1,
                                "turbMaxIters": 20, "turbRelTol": 0.1,
@@ -82,12 +80,23 @@ def run_naca(nw, nr, iters):
         # The Krylov+block-PC route stalls on this O-mesh (see
         # scripts/fp_adjoint_study.py / adjoint_spectrum_study.py).
         "adjEqnSolMethod": "fixedPoint",
+        # one device call = one FIXED-length GMRES cycle (fpRelTol 1e-30
+        # disables the in-cycle exit); the host loops cycles warm-started
+        # from the previous psibar until the GLOBAL relative residual
+        # meets BENCH_FP_TOL (restarted GMRES, same chunking rationale as
+        # the primal)
         "adjEqnOption": {
-            "fpRelTol": float(os.environ.get("BENCH_FP_TOL", "1e-6")),
-            "fpMaxIters": int(os.environ.get("BENCH_FP_ITERS", "400")),
+            "fpRelTol": 1e-30,
+            "fpMaxIters": int(os.environ.get("BENCH_FP_CHUNK", "120")),
             "fpInnerScale": float(os.environ.get("BENCH_FP_SCALE", "0.4")),
+            # line smoother: ADI line solves inside the step map keep
+            # rho(dG) at the ideal SIMPLE rate at scale (see
+            # fvsolve.solve_fixed) — with Jacobi/Chebyshev smoothers the
+            # 512x512 adjoint GMRES stalls near rel 1e-2
+            "fpInnerSmoother": os.environ.get("BENCH_FP_SMOOTHER", "line"),
             "fpAcceleration": "gmres",
-            "gmresRestart": 400, "gmresAbsTol": 1e-14,
+            "gmresRestart": int(os.environ.get("BENCH_FP_CHUNK", "120")),
+            "gmresAbsTol": 1e-30,
             "pcType": "none"},
         "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
                             "nuTilda": 3 * nu},
@@ -101,56 +110,89 @@ def run_naca(nw, nr, iters):
         print(f"[bench +{time.perf_counter() - _t0[0]:.0f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    # compile + run primal
-    _mark(f"compiling primal ({topo.n_cells} cells, min {iters} iters)")
-    st, info = solver.run_primal(st0, inputs)
-    jax.block_until_ready(st["p"])
-    n_primal = int(info.iters)
-    _mark(f"primal compiled ({n_primal} iters, "
-          f"res {float(info.max_res):.2e}); timing run")
-    t0 = time.perf_counter()
-    st, info = solver.run_primal(st0, inputs)
-    jax.block_until_ready(st["p"])
-    t_primal = time.perf_counter() - t0
-    # a failed/unconverged primal (NaN gate, or neither the residual nor
-    # the CD-std criterion met within the budget) is a FAILED bench
-    if bool(info.failed) or not bool(info.converged) \
-            or int(info.iters) < iters:
+    # compile + run primal: `iters`-iteration device chunks until the CD
+    # drift per chunk is below std_tol twice in a row (calcFuncStd analog
+    # driven from the host; see option-block comment above)
+    std_tol = float(os.environ.get("BENCH_STD_TOL", "1e-5"))
+    max_iters = int(os.environ.get("BENCH_MAX_ITERS", "4000"))
+    _mark(f"compiling primal ({topo.n_cells} cells, {iters}-iter chunks)")
+
+    def primal_to_convergence(timing: bool):
+        st, n, cd_prev, calm = st0, 0, None, 0
+        t_sum = 0.0
+        while n < max_iters:
+            t0 = time.perf_counter()
+            st, info = solver.run_primal(st if n else st0, inputs)
+            jax.block_until_ready(st["p"])
+            t_sum += time.perf_counter() - t0
+            n += int(info.iters)
+            if bool(info.failed) or int(info.iters) < iters:
+                raise RuntimeError(
+                    f"primal chunk failed at {n} iters: "
+                    f"max_res={float(info.max_res):.3e}")
+            cd_now = float(solver.run_function("CD", st, inputs))
+            drift = (abs(cd_now - cd_prev) / max(abs(cd_now), 1e-30)
+                     if cd_prev is not None else float("inf"))
+            if not timing:
+                _mark(f"  chunk @{n}: CD={cd_now:.6f} drift={drift:.2e} "
+                      f"res={float(info.max_res):.2e}")
+            cd_prev = cd_now
+            calm = calm + 1 if drift < std_tol else 0
+            if calm >= 2:
+                return st, info, cd_now, n, t_sum
         raise RuntimeError(
-            f"primal failed/unconverged: iters={int(info.iters)}/{iters} "
-            f"max_res={float(info.max_res):.3e} failed={bool(info.failed)} "
-            f"converged={bool(info.converged)}")
-    cd = solver.run_function("CD", st, inputs)
-    if not bool(jnp.isfinite(cd)):
+            f"primal unconverged: CD drift {drift:.3e} > {std_tol:g} "
+            f"after {n} iters")
+
+    st, info, cd, n_primal, _ = primal_to_convergence(timing=False)
+    _mark(f"primal converged ({n_primal} iters, "
+          f"res {float(info.max_res):.2e}); timing run")
+    st, info, cd, n_primal, t_primal = primal_to_convergence(timing=True)
+    if not bool(jnp.isfinite(jnp.asarray(cd))):
         raise RuntimeError("non-finite objective after primal")
 
-    # compile + run adjoint (TO CONVERGENCE: fixed-point GMRES on the
-    # step map; ai.iters/ai.resid report iterations-to-tolerance)
+    # compile + run adjoint TO CONVERGENCE: fixed-length fixed-point
+    # GMRES cycles on the step map, host-restarted from the previous
+    # psibar until ||r|| / ||r0_global|| < BENCH_FP_TOL
+    fp_tol = float(os.environ.get("BENCH_FP_TOL", "1e-6"))
+    fp_max = int(os.environ.get("BENCH_FP_ITERS", "1440"))
     _mark(f"primal timed: {t_primal:.2f}s; compiling adjoint")
-    psi, ai = solver.run_adjoint("CD", st, inputs)
-    jax.block_until_ready(psi["p"])
-    _mark(f"adjoint compiled ({int(ai.iters)} iters, "
-          f"rel {float(ai.resid / ai.resid0):.2e}); timing run")
-    t0 = time.perf_counter()
-    psi, ai = solver.run_adjoint("CD", st, inputs)
-    jax.block_until_ready(psi["p"])
-    t_adj = time.perf_counter() - t0
+    inputs_c = jax.tree_util.tree_map(jnp.asarray, inputs)
+    adj_cycle = jax.jit(
+        lambda s, p0: solver.solve_adjoint(s, inputs_c, "CD", psi0=p0))
+
+    def adjoint_to_convergence(timing: bool):
+        psi = jax.tree_util.tree_map(jnp.zeros_like, st)
+        t_sum, n, r0g, rel = 0.0, 0, None, float("inf")
+        while n < fp_max:
+            t0 = time.perf_counter()
+            psi, ai = adj_cycle(st, psi)
+            jax.block_until_ready(psi["p"])
+            t_sum += time.perf_counter() - t0
+            n += int(ai.iters)
+            r0g = float(ai.resid0) if r0g is None else r0g
+            rel = float(ai.resid) / r0g
+            if not timing:
+                _mark(f"  adj cycle @{n}: rel={rel:.2e}")
+            if rel < fp_tol:
+                return psi, n, rel, t_sum
+        raise RuntimeError(
+            f"adjoint did not converge: {n} iters, rel resid {rel:.3e}")
+
+    psi, n_adj, adj_rel, _ = adjoint_to_convergence(timing=False)
+    _mark(f"adjoint converged ({n_adj} iters, rel {adj_rel:.2e}); "
+          "timing run")
+    psi, n_adj, adj_rel, t_adj = adjoint_to_convergence(timing=True)
     if not all(bool(jnp.all(jnp.isfinite(v))) for v in psi.values()):
         raise RuntimeError("non-finite adjoint solution")
-    adj_rel = float(ai.resid / ai.resid0)
-    if not bool(ai.converged):
-        raise RuntimeError(
-            f"adjoint did not converge: {int(ai.iters)} iters, "
-            f"rel resid {adj_rel:.3e}")
 
-    n_primal = int(info.iters)
     cell_iters = topo.n_cells * n_primal / (t_primal + t_adj)
-    fp_tol = solver.option["adjEqnOption"]["fpRelTol"]
     return {
         "metric": f"NACA0012 SA-RANS {nw}x{nr} primal({n_primal} SIMPLE "
-                  f"iters, CONVERGED by CD-std, res {float(info.max_res):.1e})"
+                  f"iters, CONVERGED by CD-drift<{std_tol:g}, "
+                  f"res {float(info.max_res):.1e})"
                   f"+adjoint(fixedPoint GMRES to relTol {fp_tol:g}, "
-                  f"CONVERGED in {int(ai.iters)} iters) wall-clock "
+                  f"CONVERGED in {n_adj} iters) wall-clock "
                   f"[{jax.devices()[0].platform}]",
         "value": round(cell_iters, 1),
         "unit": "cell-iterations/s",
@@ -160,7 +202,7 @@ def run_naca(nw, nr, iters):
         "primal_res": float(info.max_res),
         "adjoint_s": round(t_adj, 3),
         "CD": round(float(cd), 6),
-        "adj_iters": int(ai.iters),
+        "adj_iters": n_adj,
         "adj_res": adj_rel,
     }
 
@@ -232,7 +274,10 @@ def _device_probe_ok(timeout=240):
 
 def main():
     import jax
-    if not _device_probe_ok():
+    # BENCH_SKIP_PROBE=1 skips the subprocess device probe: on the axon
+    # tunnel, a probe subprocess attaching/detaching right before the
+    # main process can leave the device UNAVAILABLE for the next attach
+    if os.environ.get("BENCH_SKIP_PROBE") != "1" and not _device_probe_ok():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
@@ -247,6 +292,8 @@ def main():
         else:
             out = run_cavity(int(os.environ.get("BENCH_N", "96")), iters)
     except Exception as e:
+        if os.environ.get("BENCH_RAISE") == "1":
+            raise
         # a failed bench is a FAILURE (value 0), never a substituted metric
         out = {"metric": f"bench failed ({case})", "value": 0.0,
                "unit": "cell-iterations/s", "vs_baseline": 0.0,

@@ -76,6 +76,11 @@ def main():
         "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
                             "nuTilda": 3 * nu},
     }
+    if os.environ.get("PROBE_FUNCSTD") == "1":
+        # bench-parity: CD-std tracked convergence loop (isolates the
+        # tracked while_loop body for TPU fault bisection)
+        opts["primalFuncStdTol"] = {"stdTol": 1e-12, "funcNames": ["CD"],
+                                    "nStepsFrac": 0.2}
     solver = make_solver(opts, topo, pts)
     inputs = solver.make_inputs()
     st = solver.init_state()

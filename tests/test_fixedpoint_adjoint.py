@@ -14,7 +14,7 @@ from dafoam_tpu.mesh import box_hex_mesh
 from dafoam_tpu.solvers import make_solver
 
 
-def make_case(adj_method, adj_extra=None):
+def make_case(adj_method, adj_extra=None, opts_extra=None):
     n = 12
     pts, topo = box_hex_mesh(n, n, 1, (0.1, 0.1, 0.01),
                              kinds={"zmin": "empty", "zmax": "empty",
@@ -50,8 +50,45 @@ def make_case(adj_method, adj_extra=None):
     }
     if adj_extra:
         opts["adjEqnOption"].update(adj_extra)
+    if opts_extra:
+        opts.update(opts_extra)
     solver = make_solver(opts, topo, pts)
     return solver
+
+
+def test_fixedpoint_line_smoother_matches_krylov():
+    """fpInnerSmoother 'line' (ADI line solves as the step map's inner
+    defect correction — the at-scale TPU configuration, see
+    fvsolve.solve_fixed) must reproduce the Krylov totals like the
+    Chebyshev/Jacobi 'linear' smoother does. Needs the dense-DIA layout
+    (forced here; 'auto' only enables it on TPU)."""
+    dense = {"meshFaceLayout": "diaDense"}
+    kry = make_case("Krylov", opts_extra=dense)
+    inputs = kry.make_inputs()
+    state, info = kry.run_primal(kry.init_state(), inputs)
+    assert not bool(info.failed)
+    psi_k, ik = kry.solve_adjoint(state, inputs, "LidForce")
+    assert bool(ik.converged)
+    tot_k = kry.total_derivative(state, inputs, "LidForce", psi_k)
+
+    fp = make_case("fixedPoint",
+                   {"fpAcceleration": "gmres", "fpInnerMode": "fixed",
+                    "fpInnerSmoother": "line"}, opts_extra=dense)
+    # verify the line path is actually reachable on this topology
+    from dafoam_tpu.linalg.lines import line_directions
+    assert line_directions(fp.topo)
+    psibar, jf = fp.solve_adjoint(state, inputs, "LidForce")
+    assert bool(jf.converged), (int(jf.iters), float(jf.resid))
+    assert int(jf.iters) < int(info.iters)
+    tot_f = fp.total_derivative(state, inputs, "LidForce", psibar)
+
+    np.testing.assert_allclose(np.asarray(tot_f["params"]["nu"]),
+                               np.asarray(tot_k["params"]["nu"]),
+                               rtol=1e-6, atol=1e-12)
+    pk = np.asarray(tot_k["points"])
+    scale = max(1.0, np.abs(pk).max())
+    np.testing.assert_allclose(np.asarray(tot_f["points"]), pk,
+                               rtol=5e-6, atol=1e-7 * scale)
 
 
 @pytest.mark.parametrize("accel,inner", [("gmres", "fixed"),
