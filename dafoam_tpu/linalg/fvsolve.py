@@ -224,17 +224,21 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
 
     if smoother == "line":
         from dafoam_tpu.linalg.lines import line_directions, line_solver
-        if line_directions(topo):
-            lp0 = line_solver(m, topo)
-            lp = (lambda r: lp0(r.T).T) if cm else lp0
+        # SCALAR equations only (pressure — where the stiffness lives):
+        # the PCR vjp on (nlines, s, 3) momentum batches rematerializes
+        # (.,3)-minor temps that XLA lays out T(8,128) with 42.7x padding
+        # and OOMs HBM at bench scale; relaxed momentum is diagonally
+        # dominant and the damped-Jacobi smoother contracts it fine.
+        if x0.ndim == 1 and line_directions(topo):
+            lp = line_solver(m, topo)
             # one ADI sweep ~ a dozen matvec-equivalents; budget sweeps
             # against the requested smoother-iteration count
             sweeps = max(1, min(4, int(round(n_iters / 10))))
             x = x0
             for _ in range(sweeps):
                 x = x + lp(b - mv(x))
-            return x.T if cm else x
-        smoother = "linear"  # no dense-DIA layout: fall back
+            return x
+        smoother = "linear"  # vector eq / no dense-DIA layout: fall back
 
     if smoother == "linear":
         r0 = b - mv(x0)
