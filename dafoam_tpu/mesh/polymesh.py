@@ -1,11 +1,13 @@
-"""OpenFOAM polyMesh reader (pure numpy, ASCII + binary).
+"""OpenFOAM polyMesh reader (ASCII + binary).
 
 The reference reads the mesh through external `pyofm` (pyDAFoam.py:1858-1890
 _readOFGrid: points/faces/boundaries/owner/neighbour). This is a standalone
 reader for the same on-disk format (constant/polyMesh/{points,faces,owner,
 neighbour,boundary}) producing a MeshTopology + points array, so existing
 OpenFOAM cases (e.g. the reference's reg-test fixtures) can be imported
-directly.
+directly. The number-heavy ASCII payloads go through the native C++
+parser (`dafoam_tpu.native`, the pyofm analog); a pure-numpy fallback
+covers every format and `DAFOAM_TPU_NO_NATIVE=1`.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import struct
 
 import numpy as np
 
+from dafoam_tpu import native as _native
 from dafoam_tpu.mesh.topology import MeshTopology, Patch
 
 _KIND_MAP = {
@@ -60,13 +63,14 @@ def _strip_comments(text: str) -> str:
 def _read_labels(path):
     fmt, payload = _strip_header(_read_file(path))
     if fmt == "ascii":
+        vals = _native.parse_labels_ascii(payload)
+        if vals is not None:
+            return vals
         text = _strip_comments(payload.decode("latin1"))
         m = re.search(r"(\d+)\s*\(", text)
         n = int(m.group(1))
         body = text[m.end():]
-        vals = np.fromstring(body.split(")")[0], dtype=np.int64, sep=" ") \
-            if False else np.array(body[:body.index(")")].split(),
-                                   dtype=np.int64)
+        vals = np.array(body[:body.index(")")].split(), dtype=np.int64)
         assert vals.size == n, (vals.size, n)
         return vals
     # binary: "N(" then N int32/int64 then ")"
@@ -84,6 +88,9 @@ def _read_labels(path):
 def _read_points(path):
     fmt, payload = _strip_header(_read_file(path))
     if fmt == "ascii":
+        pts = _native.parse_points_ascii(payload)
+        if pts is not None:
+            return pts
         text = _strip_comments(payload.decode("latin1"))
         m = re.search(r"(\d+)\s*\(", text)
         n = int(m.group(1))
@@ -99,23 +106,31 @@ def _read_points(path):
 
 
 def _read_faces(path):
+    """Faces as CSR: (index (n+1,), flat vertex labels)."""
     fmt, payload = _strip_header(_read_file(path))
     if fmt == "ascii":
+        csr = _native.parse_faces_ascii(payload)
+        if csr is not None:
+            return csr
         text = _strip_comments(payload.decode("latin1"))
         m = re.search(r"(\d+)\s*\(", text)
         n = int(m.group(1))
         body = text[m.end():]
-        faces = []
+        counts, flats = [], []
         # entries look like: 4(0 1 2 3)
         for fm in re.finditer(r"(\d+)\s*\(([^)]*)\)", body):
             k = int(fm.group(1))
             verts = np.array(fm.group(2).split(), dtype=np.int64)
             assert verts.size == k
-            faces.append(verts)
-            if len(faces) == n:
+            counts.append(k)
+            flats.append(verts)
+            if len(counts) == n:
                 break
-        assert len(faces) == n
-        return faces
+        assert len(counts) == n
+        idx = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=idx[1:])
+        return idx, (np.concatenate(flats) if flats
+                     else np.zeros(0, dtype=np.int64))
     # binary faces: compact list: index array (n+1) + flat vertex array
     m = re.search(rb"(\d+)\s*\(", payload)
     n_idx = int(m.group(1))
@@ -126,7 +141,7 @@ def _read_faces(path):
     n_flat = int(m2.group(1))
     flat = np.frombuffer(rest[m2.end(): m2.end() + n_flat * 4],
                          dtype="<i4").astype(np.int64)
-    return [flat[idx[i]: idx[i + 1]] for i in range(n_idx - 1)]
+    return idx, flat
 
 
 def _read_boundary(path):
@@ -150,7 +165,7 @@ def read_polymesh(case_dir: str, region: str = ""):
     """Read an OpenFOAM case's polyMesh -> (points (np,3), MeshTopology)."""
     pm = os.path.join(case_dir, "constant", region, "polyMesh")
     points = _read_points(os.path.join(pm, "points"))
-    faces = _read_faces(os.path.join(pm, "faces"))
+    fidx, fflat = _read_faces(os.path.join(pm, "faces"))
     owner = _read_labels(os.path.join(pm, "owner")).astype(np.int32)
     neighbour = _read_labels(os.path.join(pm, "neighbour")).astype(np.int32)
     bnd = _read_boundary(os.path.join(pm, "boundary"))
@@ -159,13 +174,15 @@ def read_polymesh(case_dir: str, region: str = ""):
     n_faces = owner.shape[0]
     n_cells = int(max(owner.max(), neighbour.max() if n_internal else 0)) + 1
 
-    max_nv = max(len(f) for f in faces)
-    fv = np.zeros((n_faces, max_nv), dtype=np.int32)
-    fn = np.zeros((n_faces,), dtype=np.int32)
-    for i, f in enumerate(faces):
-        fv[i, : len(f)] = f
-        fv[i, len(f):] = f[0]  # pad by repeating first vertex
-        fn[i] = len(f)
+    # CSR -> padded (n_faces, max_nv); pad slots repeat the FIRST vertex
+    # (a degenerate repeat contributes zero area in the shoelace sums)
+    fn64 = fidx[1:] - fidx[:-1]
+    max_nv = int(fn64.max())
+    cols = np.arange(max_nv, dtype=np.int64)[None, :]
+    pos = np.where(cols < fn64[:, None], fidx[:-1, None] + cols,
+                   fidx[:-1, None])
+    fv = fflat[pos].astype(np.int32)
+    fn = fn64.astype(np.int32)
 
     patches = []
     for name, ptype, start, nfaces in sorted(bnd, key=lambda t: t[2]):
