@@ -144,8 +144,15 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
 
     def fwd(matvec_f, bb):
         # matvec_f == mv semantically; the closed-over fast closure may
-        # route through the Pallas DIA kernel on TPU
-        x, _ = solver(mv_fast, bb, x0=x0, precond=prec, rel_tol=rel_tol,
+        # route through the Pallas DIA kernel on TPU. MUST be a pure
+        # function of bb (start from ZERO, tolerance relative to bb's own
+        # residual): custom_linear_solve reuses this solve for JVP tangent
+        # systems, whose RHS can be orders of magnitude smaller than the
+        # state — warm-starting from psi0 there made rel_tol relative to
+        # ||A psi0|| and returned scale-contaminated tangents (caught by
+        # test_cht's forward-AD triangulation). The primal warm start
+        # lives OUTSIDE the primitive in correction form below.
+        x, _ = solver(mv_fast, bb, precond=prec, rel_tol=rel_tol,
                       abs_tol=abs_tol, max_iters=max_iters)
         return x
 
@@ -160,8 +167,15 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
                       abs_tol=abs_tol, max_iters=t_max)
         return x
 
-    x = jax.lax.custom_linear_solve(mv, b, fwd, transpose_solve=trans,
-                                    symmetric=symmetric)
+    # correction (defect) form x = x0 + A^-1 (b - A x0): the warm start is
+    # outside custom_linear_solve, so the primal solve does the same work
+    # as a psi0-warm-started one (tolerance relative to ||b - A x0||)
+    # while JVP/VJP rules see a solve that is exact in its RHS. AD-wise
+    # this is exact: d x = A^-1 (db - dA (x0 + delta)) = A^-1 (db - dA x).
+    delta = jax.lax.custom_linear_solve(mv, b - mv(x0), fwd,
+                                        transpose_solve=trans,
+                                        symmetric=symmetric)
+    x = x0 + delta
     if cm:
         x = x.T
     # per-solve iteration stats cannot escape the custom_linear_solve

@@ -49,6 +49,13 @@ def build():
         "initialFields": {"U": [1.0, 0.0, 0.0], "p": 0.0, "T": T_IN},
         "primalMinResTol": 1e-10,
         "primalMaxIters": 600,
+        # near-exact inner solves: custom_linear_solve's implicit JVP/VJP
+        # rules solve tangent systems to these SAME tolerances, so the
+        # forward-AD triangulation below measures AD plumbing only when
+        # solver noise is below its assert tolerance (72-cell mesh: cheap)
+        "primalLinearSolver": {"pMaxIters": 500, "pRelTol": 1e-12,
+                               "uMaxIters": 300, "uRelTol": 1e-12,
+                               "turbMaxIters": 300, "turbRelTol": 1e-12},
         "relaxationFactors": {"fields": {"p": 0.2},
                               "equations": {"U": 0.5, "T": 0.9}},
         "function": {"Tout": {"type": "patchMean", "patches": ["xmax"],
@@ -74,6 +81,9 @@ def build():
         "initialFields": {"T": T_HOT},
         "primalMinResTol": 1e-10,
         "primalMaxIters": 200,
+        "primalLinearSolver": {"pMaxIters": 500, "pRelTol": 1e-12,
+                               "uMaxIters": 300, "uRelTol": 1e-12,
+                               "turbMaxIters": 300, "turbRelTol": 1e-12},
         "function": {},
         "normalizeStates": {"T": T_HOT},
     }
