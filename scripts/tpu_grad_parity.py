@@ -83,8 +83,12 @@ def main():
         "function": {"CD": {"type": "force", "patches": ["wing"],
                             "directionMode": "fixedDirection",
                             "direction": [1.0, 0.0, 0.0], "scale": 1.0}},
-        "adjEqnOption": {"gmresRelTol": gtol, "gmresRestart": 400,
-                         "gmresMaxIters": 3000, "pcType": "segregated"},
+        "adjEqnOption": {
+            "gmresRelTol": gtol,
+            "gmresRestart": int(os.environ.get("GRADPAR_RESTART", "400")),
+            "gmresMaxIters": int(os.environ.get("GRADPAR_ADJ_ITERS",
+                                                "3000")),
+            "pcType": "segregated"},
         "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
                             "nuTilda": 3 * NU},
     }
@@ -121,7 +125,9 @@ def main():
         "g_samples": samples,
         "primal_iters": int(info.iters),
         "primal_res": float(info.max_res),
+        "adj_iters": int(ai.iters),
         "adj_res": float(ai.resid),
+        "adj_res0": float(ai.resid0),
     }
     print(json.dumps(out))
 
