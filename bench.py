@@ -1,14 +1,16 @@
 """Benchmark: NACA0012 SA-RANS primal + adjoint wall-clock (north star).
 
 Runs the flagship DASimpleFoam + SpalartAllmaras O-mesh case on the default
-JAX platform (the real TPU chip under the driver) in float32, with FIXED
-iteration counts so the timing is tolerance-independent across precisions:
+JAX platform (the real TPU chip under the driver) in float32, TO
+CONVERGENCE (VERDICT r2 item 1 — no fixed-budget unconverged solves):
 
-  - primal: BENCH_ITERS fused SIMPLE iterations (one lax.while_loop)
-  - adjoint: one FGMRES solve with fixed restart/iteration budget
+  - primal: BENCH_ITERS-iteration fused SIMPLE chunks until the CD drift
+    per chunk is < BENCH_STD_TOL twice in a row (calcFuncStd analog)
+  - adjoint: solver-level fixed-point GMRES cycles (runFPAdj analog),
+    host-restarted until global relative residual < BENCH_FP_TOL
 
-and reports total cell-iterations/second (primal sweep + adjoint matvecs
-weighted 1:1).
+and reports total cell-iterations/second over the timed convergence runs
+(compiles excluded via one discarded warm-up call per program).
 
 Baseline: the reference publishes no numbers (SURVEY.md §6, BASELINE.json
 published: {}). vs_baseline uses the documented nominal of 5e4
@@ -119,7 +121,7 @@ def run_naca(nw, nr, iters):
     max_iters = int(os.environ.get("BENCH_MAX_ITERS", "12000"))
     _mark(f"compiling primal ({topo.n_cells} cells, {iters}-iter chunks)")
 
-    def primal_to_convergence(timing: bool):
+    def primal_to_convergence():
         st, n, cd_prev, calm = st0, 0, None, 0
         t_sum = 0.0
         while n < max_iters:
@@ -135,9 +137,8 @@ def run_naca(nw, nr, iters):
             cd_now = float(solver.run_function("CD", st, inputs))
             drift = (abs(cd_now - cd_prev) / max(abs(cd_now), 1e-30)
                      if cd_prev is not None else float("inf"))
-            if not timing:
-                _mark(f"  chunk @{n}: CD={cd_now:.6f} drift={drift:.2e} "
-                      f"res={float(info.max_res):.2e}")
+            _mark(f"  chunk @{n}: CD={cd_now:.6f} drift={drift:.2e} "
+                  f"res={float(info.max_res):.2e}")
             cd_prev = cd_now
             calm = calm + 1 if drift < std_tol else 0
             if calm >= 2:
@@ -146,10 +147,16 @@ def run_naca(nw, nr, iters):
             f"primal unconverged: CD drift {drift:.3e} > {std_tol:g} "
             f"after {n} iters")
 
-    st, info, cd, n_primal, _ = primal_to_convergence(timing=False)
-    _mark(f"primal converged ({n_primal} iters, "
-          f"res {float(info.max_res):.2e}); timing run")
-    st, info, cd, n_primal, t_primal = primal_to_convergence(timing=True)
+    # warm the compile with ONE chunk (discarded), then time a single
+    # convergence pass from st0 — every timed call is a steady-state
+    # device call, and the whole bench runs the workload once (a full
+    # untimed convergence pass before a full timed one doubled wall-clock
+    # for no extra information and risked the driver's bench timeout)
+    _st, _info = solver.run_primal(st0, inputs)
+    jax.block_until_ready(_st["p"])
+    float(solver.run_function("CD", _st, inputs))  # warm the CD program
+    _mark("primal compiled; timed convergence run")
+    st, info, cd, n_primal, t_primal = primal_to_convergence()
     if not bool(jnp.isfinite(jnp.asarray(cd))):
         raise RuntimeError("non-finite objective after primal")
 
@@ -163,7 +170,7 @@ def run_naca(nw, nr, iters):
     adj_cycle = jax.jit(
         lambda s, p0: solver.solve_adjoint(s, inputs_c, "CD", psi0=p0))
 
-    def adjoint_to_convergence(timing: bool):
+    def adjoint_to_convergence():
         psi = jax.tree_util.tree_map(jnp.zeros_like, st)
         t_sum, n, r0g, rel = 0.0, 0, None, float("inf")
         while n < fp_max:
@@ -174,17 +181,18 @@ def run_naca(nw, nr, iters):
             n += int(ai.iters)
             r0g = float(ai.resid0) if r0g is None else r0g
             rel = float(ai.resid) / r0g
-            if not timing:
-                _mark(f"  adj cycle @{n}: rel={rel:.2e}")
+            _mark(f"  adj cycle @{n}: rel={rel:.2e}")
             if rel < fp_tol:
                 return psi, n, rel, t_sum
         raise RuntimeError(
             f"adjoint did not converge: {n} iters, rel resid {rel:.3e}")
 
-    psi, n_adj, adj_rel, _ = adjoint_to_convergence(timing=False)
-    _mark(f"adjoint converged ({n_adj} iters, rel {adj_rel:.2e}); "
-          "timing run")
-    psi, n_adj, adj_rel, t_adj = adjoint_to_convergence(timing=True)
+    # same warm-then-time structure as the primal: one discarded cycle
+    # pays the compile, then a single timed convergence run from zeros
+    _psi0 = jax.tree_util.tree_map(jnp.zeros_like, st)
+    jax.block_until_ready(adj_cycle(st, _psi0)[0]["p"])
+    _mark("adjoint compiled; timed convergence run")
+    psi, n_adj, adj_rel, t_adj = adjoint_to_convergence()
     if not all(bool(jnp.all(jnp.isfinite(v))) for v in psi.values()):
         raise RuntimeError("non-finite adjoint solution")
 
