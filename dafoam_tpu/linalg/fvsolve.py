@@ -122,6 +122,27 @@ def solve(m: FvMatrix, psi0, topo, symmetric=False, rel_tol=1e-7,
 
     prec_t = prec
     solver = cg if symmetric else bicgstab
+    if pc == "mg":
+        # geometric multigrid PC (linalg/mg.py) — the GAMG-class inverse
+        # the reference's pressure solve gets from OpenFOAM GAMG
+        # (pEqnSimple.H). Scalar equations on grid-form meshes only;
+        # falls back to the ADI line PC otherwise.
+        from dafoam_tpu.linalg import mg as mgmod
+        if m.diag.ndim == 1 and mgmod.grid_structure(topo) is not None:
+            sg = jax.lax.stop_gradient
+            mmg = m._replace(diag=sg(m.diag), lower=sg(m.lower),
+                             upper=sg(m.upper))
+            h = mgmod.build_hierarchy(mmg, topo)
+            mgp = lambda r: mgmod.vcycle(h, r, omega=1.7)  # noqa: E731
+            prec = (lambda r: mgp(r.T).T) if cm else mgp
+            from dafoam_tpu.adjoint.precond import transpose
+            ht = mgmod.build_hierarchy(transpose(mmg), topo)
+            mgt = lambda r: mgmod.vcycle(ht, r, omega=1.7)  # noqa: E731
+            prec_t = (lambda r: mgt(r.T).T) if cm else mgt
+            solver = bicgstab  # V-cycle is nonsymmetric
+            pc = "done"
+        else:
+            pc = "line"
     if pc == "line":
         from dafoam_tpu.linalg.lines import line_directions, line_solver
         if line_directions(topo):
@@ -235,6 +256,24 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
     mv = matvec_fn(m, topo, component_major=cm)
+
+    if smoother == "mg":
+        # geometric-multigrid defect correction (linalg/mg.py): the same
+        # linear-in-defect smooth class as "line" (coefficients depend on
+        # the MATRIX only) but with grid-independent contraction — this
+        # is what keeps the fixed-point step map G strongly contracting
+        # at bench scale (VERDICT r3 item 1: with line/Jacobi smoothers
+        # the 512x512 adjoint GMRES on (I - dG^T) stalls at rel 1.8e-2).
+        # Scalar equations only (pressure), same rationale as "line".
+        from dafoam_tpu.linalg import mg as mgmod
+        if x0.ndim == 1 and mgmod.grid_structure(topo) is not None:
+            h = mgmod.build_hierarchy(m, topo)
+            sweeps = max(1, min(2, int(round(n_iters / 15))))
+            x = x0
+            for _ in range(sweeps):
+                x = x + mgmod.vcycle(h, b - mv(x), omega=1.7)
+            return x.T if cm else x
+        smoother = "line"  # no grid form: fall through to ADI lines
 
     if smoother == "line":
         from dafoam_tpu.linalg.lines import line_directions, line_solver

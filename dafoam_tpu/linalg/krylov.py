@@ -402,7 +402,8 @@ def chebyshev_steps(matvec: Callable, dinv, r0, n_steps=20,
 # ---------------------------------------------------------------------------
 
 def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
-          restart=60, rel_tol=1e-6, abs_tol=1e-14, max_iters=1000):
+          restart=60, rel_tol=1e-6, abs_tol=1e-14, max_iters=1000,
+          deflate=0):
     """Flexible right-preconditioned restarted GMRES (FGMRES) on a pytree.
 
     Matches the role of the reference's KSPGMRES setup
@@ -411,9 +412,27 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
     basis Z is stored alongside V, so the preconditioner may itself be an
     inner Krylov solve (our segregated block PC) — a fixed-operator
     assumption here silently corrupts the solution. The Krylov basis is a
-    stacked flat matrix for MXU-friendly orthogonalization.
+    stacked flat matrix for MXU-friendly orthogonalization. Without a
+    preconditioner (and without deflation) Z is not materialized — at
+    bench scale the basis is the memory budget.
+
+    deflate=k > 0 enables DEFLATED RESTARTS (GMRES-E/GCRO-DR class,
+    Morgan 2002): restarted GMRES discards its Krylov space every cycle,
+    so a handful of near-null directions of A (eigenvalues of a
+    fixed-point step map near 1) re-enter the residual each restart and
+    the iteration stalls — exactly the observed 512x512 fixed-point
+    adjoint plateau (VERDICT r3, BENCH_r03). With deflation, the last k
+    of each cycle's m directions are not fresh Krylov vectors but the
+    previous cycle's best approximations to A's smallest directions,
+    extracted per cycle from the small projected problem
+    min_y ||Hbar y|| / ||Z y|| (SVD-quality harmonic-Ritz analogue that
+    needs only eigh of m x m matrices — TPU-compilable, unlike
+    nonsymmetric eig). The subspace recycles across restarts, so the
+    stall-causing directions stay deflated.
     """
     flexible = precond is not None
+    k_defl = int(deflate)
+    store_z = flexible or k_defl > 0
     precond = precond or _identity
     flat_b, unravel = jax.flatten_util.ravel_pytree(b)
     n = flat_b.shape[0]
@@ -431,13 +450,15 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
     bnorm = jnp.linalg.norm(flat_b)
     tol = jnp.maximum(rel_tol * bnorm, abs_tol)
     m = restart
+    m_arn = m - k_defl     # fresh Arnoldi directions per cycle
+    assert m_arn >= 1, "deflate must be < restart"
 
-    def arnoldi_cycle(x):
+    def arnoldi_cycle(x, U):
         r = flat_b - mvA_flat(x)    # TRUE residual (x lives in solution space)
         beta = jnp.linalg.norm(r)
 
         V = jnp.zeros((m + 1, n), dtype=dtype)
-        Z = jnp.zeros((m, n), dtype=dtype)   # preconditioned basis (FGMRES)
+        Z = jnp.zeros((m if store_z else 1, n), dtype=dtype)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         cs = jnp.zeros((m,), dtype=dtype)
         sn = jnp.zeros((m,), dtype=dtype)
@@ -451,8 +472,18 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
 
         def _step(j, carry):
             V, Z, H, cs, sn, g, k, done = carry
-            z = mprec_flat(V[j]) if flexible else V[j]
-            Z = Z.at[j].set(z)
+            if k_defl > 0:
+                # augmented columns: recycle directions from U (zero rows
+                # of a not-yet-seeded U fall back to the Krylov vector)
+                u = U[jnp.maximum(j - m_arn, 0)]
+                unorm = jnp.linalg.norm(u)
+                use_u = jnp.logical_and(j >= m_arn, unorm > _tiny(unorm))
+                zdir = jnp.where(use_u, u, V[j])
+                z = mprec_flat(zdir) if flexible else zdir
+            else:
+                z = mprec_flat(V[j]) if flexible else V[j]
+            if store_z:
+                Z = Z.at[j].set(z)
             w = mvA_flat(z)
             # modified Gram-Schmidt (two-pass for stability): MXU matvec
             h = V @ w                      # (m+1,) only first j+1 meaningful
@@ -496,21 +527,51 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
                        jnp.eye(m, dtype=dtype))
         y = jax.scipy.linalg.solve_triangular(
             Hm, jnp.where(used, g[:m], 0.0), lower=False)
-        x = x + (Z.T if flexible else V[:m].T) @ y
+        S = Z if store_z else V[:m]
+        x = x + S.T @ y
         resid = jnp.abs(g[k])
-        return x, resid, done, k
+
+        if k_defl > 0:
+            # refresh the recycle space: the k_defl directions s = S^T y
+            # minimizing ||A s|| / ||s|| over the cycle's search space,
+            # from the generalized problem (Hbar^T Hbar) y = theta (S S^T) y
+            # (A S = V Hbar exactly, V orthonormal). All m x m — one eigh +
+            # one Cholesky; the only O(n) work is S S^T and the k_defl
+            # basis combinations.
+            Hbar = jnp.where(used[None, :], H, 0.0)    # (m+1, m)
+            A_small = Hbar.T @ Hbar
+            G = S @ S.T                                # (m, m) Gram
+            # pad unused columns to identity so they sort to theta = 1
+            eye = jnp.eye(m, dtype=dtype)
+            A_small = jnp.where(used[None, :] & used[:, None], A_small, eye)
+            G = jnp.where(used[None, :] & used[:, None], G, eye)
+            # guard: G must be SPD; add a tiny ridge for safety
+            G = G + 1e-12 * eye
+            L = jnp.linalg.cholesky(G)
+            Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            Aw = Li @ A_small @ Li.T
+            theta, Q = jnp.linalg.eigh(Aw)             # ascending
+            Y = Li.T @ Q[:, :k_defl]                   # smallest k_defl
+            U_new = Y.T @ S                            # (k_defl, n)
+            # normalize rows (scale-free directions)
+            nrm = jnp.linalg.norm(U_new, axis=1, keepdims=True)
+            U_new = U_new / jnp.maximum(nrm, _tiny(beta))
+            # keep the old space if the cycle died before building one
+            U = jnp.where(k >= 1, U_new, U)
+        return x, U, resid, done, k
 
     def cond(s):
-        x, res, it, done = s
+        x, U, res, it, done = s
         return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
     def body(s):
-        x, res, it, done = s
-        x, res, done, k = arnoldi_cycle(x)
-        return x, res, it + k, res <= tol
+        x, U, res, it, done = s
+        x, U, res, done, k = arnoldi_cycle(x, U)
+        return x, U, res, it + k, res <= tol
 
+    U0 = jnp.zeros((max(k_defl, 1), n), dtype=dtype)
     r0 = jnp.linalg.norm(flat_b - mvA_flat(x))
-    x, res, it, done = jax.lax.while_loop(
-        cond, body, (x, r0, jnp.asarray(0), r0 <= tol))
+    x, U, res, it, done = jax.lax.while_loop(
+        cond, body, (x, U0, r0, jnp.asarray(0), r0 <= tol))
 
     return unravel(x), SolveInfo(it, r0, res, res <= tol)

@@ -59,6 +59,11 @@ _DEFAULTS: dict[str, Any] = {
         "jacMatReOrdering": "rcm", "gmresMaxIters": 2000,
         "gmresRestart": 300, "gmresRelTol": 1.0e-6, "gmresAbsTol": 1.0e-14,
         "gmresTolDiff": 1.0e2, "useNonZeroInitGuess": False,
+        # deflated (recycled) restarts: keep this many approximate
+        # smallest-direction vectors across GMRES restart cycles
+        # (GMRES-E/GCRO-DR class; breaks the restart stall on fixed-point
+        # step maps whose dG has eigenvalues near 1 — linalg/krylov.gmres)
+        "gmresDeflate": 0,
         # none | segregated (block PC, inner Krylov sweeps) | lineJacobi
         # (exact per-field line-implicit solves) | coupledLine (line
         # solves + block-GS sweeps through the full transposed Jacobian)
@@ -84,7 +89,11 @@ _DEFAULTS: dict[str, Any] = {
         # "fixed"-mode smoother: "linear" = defect-correction Chebyshev
         # (pressure) / damped Jacobi (momentum, turbulence) with static
         # coefficients — AD transpose finite even at the f32 noise floor,
-        # dot-product-free (halo-local on a sharded mesh); "krylov" =
+        # dot-product-free (halo-local on a sharded mesh); "line" =
+        # defect-correction with exact ADI line solves (pressure only;
+        # linalg/lines.py); "mg" = defect-correction with geometric
+        # multigrid V-cycles (pressure only; grid-independent step-map
+        # contraction at bench scale — linalg/mg.py); "krylov" =
         # frozen-on-convergence CG/BiCGStab step scans (stronger per-step
         # contraction; f64-safe only)
         "fpInnerSmoother": "linear",
@@ -128,10 +137,12 @@ _DEFAULTS: dict[str, Any] = {
     "primalLinearSolver": {
         "pMaxIters": 500, "pRelTol": 0.01, "uMaxIters": 100, "uRelTol": 0.1,
         "turbMaxIters": 100, "turbRelTol": 0.1, "pAbsTol": 1e-20,
-        # pressure preconditioner: "jacobi" (diag) or "line" (exact ADI
-        # line solves on the dense-DIA layout — the GAMG-class strength
-        # needed at scale; see linalg/lines.py). "line" switches the
-        # pressure Krylov to BiCGStab (the ADI sweep is nonsymmetric).
+        # pressure preconditioner: "jacobi" (diag), "line" (exact ADI
+        # line solves on the dense-DIA layout; linalg/lines.py), or "mg"
+        # (geometric Galerkin multigrid on the grid-form layout — the
+        # GAMG-class grid-independent strength the reference's pEqn gets
+        # from OpenFOAM GAMG; linalg/mg.py). "line"/"mg" switch the
+        # pressure Krylov to BiCGStab (both PCs are nonsymmetric).
         "pPC": "jacobi",
     },
     # ---- parallel -----------------------------------------------------------

@@ -161,6 +161,28 @@ def plot3dtransform(argv):
     return 0
 
 
+def plot3d2tecplot(argv):
+    """Convert a plot3d grid to a Tecplot structured-zone ASCII file
+    (reference dafoam_plot3d2tecplot, /root/reference/setup.py:30-38)."""
+    ap = argparse.ArgumentParser(prog="plot3d2tecplot")
+    ap.add_argument("infile")
+    ap.add_argument("outfile")
+    ns = ap.parse_args(argv)
+    blocks = read_plot3d(ns.infile)
+    with open(ns.outfile, "w") as fh:
+        fh.write('TITLE = "%s"\n' % ns.infile)
+        fh.write('VARIABLES = "X" "Y" "Z"\n')
+        for bi, b in enumerate(blocks):
+            ni, nj, nk, _ = b.shape
+            fh.write(f'ZONE T="BLOCK{bi}" I={ni} J={nj} K={nk} '
+                     f'DATAPACKING=POINT\n')
+            arr = np.transpose(b, (2, 1, 0, 3)).reshape(-1, 3)
+            for p in arr:
+                fh.write("%.12g %.12g %.12g\n" % (p[0], p[1], p[2]))
+    print("wrote", ns.outfile)
+    return 0
+
+
 def stltransform(argv):
     """Scale/translate/rotate an ASCII STL (reference dafoam_stltransform)."""
     ap = argparse.ArgumentParser(prog="stltransform")
@@ -237,6 +259,7 @@ def fieldrmse(argv):
 
 _TOOLS = {"ckdiff": ckdiff, "ckget": ckget, "meshinfo": meshinfo,
           "surfvtk": surfvtk, "plot3dtransform": plot3dtransform,
+          "plot3d2tecplot": plot3d2tecplot,
           "stltransform": stltransform, "probe": probe,
           "fieldrmse": fieldrmse}
 

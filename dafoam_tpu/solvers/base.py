@@ -60,7 +60,9 @@ class DASolverBase:
         self.topo = topo
         self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.points = jnp.asarray(points, self.dtype)
-        self.layout = StateLayout(self.state_info, topo.n_cells, topo.n_faces)
+        self.layout = StateLayout(
+            self.state_info, topo.n_cells, topo.n_faces,
+            ordering=self.option.get("adjStateOrdering", "state"))
         # static BC types; traced values split into inputs
         self.bc_spec = {}
         self.bc_values0 = {}
@@ -226,14 +228,15 @@ class DASolverBase:
                 max_iters=opt.get("fpMaxIters", 1000),
                 relax=opt.get("fpRelaxation", 1.0),
                 accel=opt.get("fpAcceleration", "gmres"),
-                restart=opt["gmresRestart"], psi0=psi0)
+                restart=opt["gmresRestart"], psi0=psi0,
+                deflate=int(opt.get("gmresDeflate", 0)))
         psi, info = adjsolver.adjoint_solve(
             res_fn, state, inputs, dJdW,
             state_scales=scales, res_scales=scales,
             precond=precond,
             restart=opt["gmresRestart"], rel_tol=opt["gmresRelTol"],
             abs_tol=opt["gmresAbsTol"], max_iters=opt["gmresMaxIters"],
-            psi0=psi0)
+            psi0=psi0, deflate=int(opt.get("gmresDeflate", 0)))
         return psi, info
 
     def solve_adjoint(self, state, inputs, func_name, psi0=None,

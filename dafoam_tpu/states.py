@@ -37,12 +37,27 @@ class StateInfo:
 
 
 class StateLayout:
-    """Pack/unpack between the state dict-pytree and one flat vector."""
+    """Pack/unpack between the state dict-pytree and one flat vector.
 
-    def __init__(self, info: StateInfo, n_cells: int, n_faces: int):
+    ordering="state" (default): the reference's documented state-major
+    layout (DAField.C ofField2State; see module docstring).
+    ordering="cell": the reference's `adjStateOrdering: cell` variant
+    (pyDAFoam.py:608, DAIndex cell ordering) — all cell-based components
+    of cell 0, then cell 1, ... (per cell: vector comps, volScalars,
+    modelStates), with surfaceScalarStates appended after the cell block
+    (face rows have no owning cell slot in a flat vector; the reference
+    keys them off owner cells inside DAIndex, which has no analog here).
+    """
+
+    def __init__(self, info: StateInfo, n_cells: int, n_faces: int,
+                 ordering: str = "state"):
+        if ordering not in ("state", "cell"):
+            raise ValueError(f"adjStateOrdering must be 'state' or 'cell', "
+                             f"got {ordering!r}")
         self.info = info
         self.n_cells = n_cells
         self.n_faces = n_faces
+        self.ordering = ordering
         self.sizes = {}
         self.offsets = {}
         off = 0
@@ -53,14 +68,47 @@ class StateLayout:
             self.offsets[name] = off
             off += sz
         self.n_states = off
+        # cell ordering: per-cell component count of the cell-block
+        self.cell_comps = sum(3 if kind == "vector" else 1
+                              for _, kind in info.ordered if kind != "face")
+
+    def _cell_names(self):
+        return [(n, k) for n, k in self.info.ordered if k != "face"]
+
+    def _face_names(self):
+        return [(n, k) for n, k in self.info.ordered if k == "face"]
 
     def pack(self, state: dict) -> jnp.ndarray:
+        if self.ordering == "cell":
+            cols = []
+            for name, kind in self._cell_names():
+                v = state[name]
+                cols.append(v if kind == "vector" else v[:, None])
+            parts = [jnp.concatenate(cols, axis=1).reshape(-1)] if cols \
+                else []
+            parts += [state[n].reshape(-1) for n, _ in self._face_names()]
+            return jnp.concatenate(parts)
         parts = []
         for name, kind in self.info.ordered:
             parts.append(state[name].reshape(-1))
         return jnp.concatenate(parts)
 
     def unpack(self, vec: jnp.ndarray) -> dict:
+        if self.ordering == "cell":
+            out = {}
+            nc = self.n_cells
+            block = vec[:nc * self.cell_comps].reshape(nc, self.cell_comps)
+            col = 0
+            for name, kind in self._cell_names():
+                w = 3 if kind == "vector" else 1
+                chunk = block[:, col:col + w]
+                out[name] = chunk if kind == "vector" else chunk[:, 0]
+                col += w
+            off = nc * self.cell_comps
+            for name, _ in self._face_names():
+                out[name] = vec[off:off + self.n_faces]
+                off += self.n_faces
+            return out
         out = {}
         for name, kind in self.info.ordered:
             off, sz = self.offsets[name], self.sizes[name]

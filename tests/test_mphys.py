@@ -322,3 +322,62 @@ def test_linear_constraint():
     comp.compute_jacvec_product(ins, d_in, {"con_1": np.ones(1)}, "rev")
     assert d_in["CL"][0] == pytest.approx(2.0)
     assert d_in["CN"][0] == pytest.approx(-1.0)
+
+
+# ---------------------------------------------------------------------------
+# fixedPoint-mode pairing: solve_linear returns psibar of the STEP-MAP
+# system; apply_linear must use the matching defect form Rt = W - G(W, x)
+# (VERDICT r3 weak #4 — the residual-form dR/dx^T silently corrupts totals)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def aero_model_fp():
+    opts = cavity_options()
+    opts["adjEqnSolMethod"] = "fixedPoint"
+    opts["adjEqnOption"] = {"fpRelTol": 1e-10, "fpMaxIters": 3000,
+                            "gmresRestart": 150, "pcType": "none",
+                            "fpInnerScale": 1.0}
+    pts, topo = box_hex_mesh(N, N, 1, (0.1, 0.1, 0.01),
+                             kinds={"zmin": "empty", "zmax": "empty",
+                                    "xmin": "wall", "xmax": "wall",
+                                    "ymin": "wall", "ymax": "wall"})
+    solver = make_solver(opts, topo, pts)
+    model = om.Group()
+    model.add_subsystem("mesh", DAFoamMesh(solver=solver), promotes=["*"])
+    ivc = om.IndepVarComp()
+    from dafoam_tpu.outputs import patch_point_ids
+
+    pids = patch_point_ids(topo, ["ymax"])
+    ivc.add_output("x_aero", val=np.asarray(pts)[pids].ravel())
+    model.add_subsystem("dvs", ivc, promotes=["*"])
+    model.add_subsystem("deformer", DAFoamWarper(solver=solver),
+                        promotes=["*"])
+    model.add_subsystem("solver", DAFoamSolver(solver=solver),
+                        promotes=["*"])
+    model.add_subsystem("functions", DAFoamFunctions(solver=solver),
+                        promotes=["*"])
+    prob = om.Problem(model).setup()
+    prob.run_model()
+    return prob, solver, pts, topo, pids
+
+
+def test_mphys_totals_vs_fd_fixedpoint(aero_model_fp):
+    prob, solver, pts, topo, pids = aero_model_fp
+    assert solver._fp_adjoint()  # the mode under test is actually active
+    tot = prob.compute_totals(of="lidForce", wrt="x_aero")[
+        ("lidForce", "x_aero")]
+    x0 = np.asarray(prob["x_aero"]).copy()
+    interior = [i for i, p in enumerate(pids)
+                if 0.02 < pts[p, 0] < 0.08][0]
+    k = 3 * interior + 1
+    h = 1e-6
+    Js = []
+    for s in (+1, -1):
+        xp = x0.copy()
+        xp[k] += s * h
+        prob["x_aero"] = xp
+        prob.run_model()
+        Js.append(float(np.asarray(prob["lidForce"]).ravel()[0]))
+    prob["x_aero"] = x0
+    prob.run_model()
+    fd = (Js[0] - Js[1]) / (2 * h)
+    assert tot[k] == pytest.approx(fd, rel=2e-4, abs=1e-12)

@@ -154,3 +154,27 @@ def test_external_regression_model():
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gt[1]),
                                rtol=1e-12)
+
+
+def test_adj_state_ordering_cell():
+    """adjStateOrdering: cell (reference pyDAFoam.py:608, DAIndex cell
+    ordering): per-cell interleave of cell-based states with face states
+    appended; exact roundtrip and the documented component order."""
+    import jax.numpy as jnp
+
+    from dafoam_tpu.states import StateInfo, StateLayout
+
+    si = StateInfo(vol_vector=("U",), vol_scalar=("p",),
+                   model=("nuTilda",), surface_scalar=("phi",))
+    lay = StateLayout(si, 3, 4, ordering="cell")
+    st = {"U": jnp.arange(9.0).reshape(3, 3), "p": jnp.arange(3.0) * 10,
+          "nuTilda": jnp.arange(3.0) * 100, "phi": jnp.arange(4.0) * 1000}
+    v = lay.pack(st)
+    # cell 0: U0x U0y U0z p0 nuTilda0, then cell 1 ...; phi block last
+    np.testing.assert_allclose(
+        np.asarray(v),
+        [0, 1, 2, 0, 0, 3, 4, 5, 10, 100, 6, 7, 8, 20, 200,
+         0, 1000, 2000, 3000])
+    st2 = lay.unpack(v)
+    for k in st:
+        np.testing.assert_allclose(np.asarray(st2[k]), np.asarray(st[k]))

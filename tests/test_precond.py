@@ -139,10 +139,10 @@ def _omesh_matrix():
 
 
 def test_line_directions_omesh():
-    from dafoam_tpu.adjoint.precond import _line_directions
+    from dafoam_tpu.linalg.lines import line_directions
 
     _, topo, _ = _omesh_matrix()
-    dirs = _line_directions(topo)
+    dirs = line_directions(topo)
     assert dirs is not None
     strides = sorted(d["stride"] for d in dirs)
     assert strides == [1, 24]
