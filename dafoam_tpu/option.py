@@ -97,6 +97,15 @@ _DEFAULTS: dict[str, Any] = {
         # frozen-on-convergence CG/BiCGStab step scans (stronger per-step
         # contraction; f64-safe only)
         "fpInnerSmoother": "linear",
+        # step-map FIELD-relaxation overrides (adjoint linearization
+        # only): field relaxation is an explicit blend that never enters
+        # a residual, so any factor here keeps the primal's W* an exact
+        # fixed point and totals invariant, while shrinking rho(dG)
+        # (solvers/base.py _fp_step_fn). Equation (implicit) relaxation
+        # canNOT be overridden — it changes rAU and shifts the map's
+        # fixed point (base.py raises on fpRelaxEquations). Empty dict =
+        # use the primal's relaxationFactors.
+        "fpRelaxFields": {},
         "dynAdjustTol": True,
     },
     "adjPCLag": 10000,

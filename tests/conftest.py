@@ -22,14 +22,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# NO persistent compile cache in tests: the XLA:CPU executable serializer
-# segfaults on certain executables in this environment (reproducible
-# 'Fatal Python error' inside put_executable_and_time, with or without
-# jax_persistent_cache_enable_xla_caches=none). Fresh compiles are slower
-# on reruns but never abort the suite. Set DAFOAM_TPU_TEST_CACHE=1 to
-# opt back in on machines where the serializer is healthy.
-if os.environ.get("DAFOAM_TPU_TEST_CACHE") == "1":
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+# Persistent compile cache for tests: suite wall-clock is compile-
+# dominated on this 1-core box (VERDICT r3 item 5), so reruns with a warm
+# cache are several times faster. A DEDICATED directory (not the shared
+# /tmp/jaxcache) keeps entries written under other plugin/feature
+# configurations from poisoning it (cpu_aot_loader feature-mismatch ->
+# potential SIGILL). An earlier XLA:CPU serializer segfault ('Fatal
+# Python error' inside put_executable_and_time) forced the cache off in
+# rounds 2-3; opt OUT with DAFOAM_TPU_TEST_CACHE=0 if it reappears.
+if os.environ.get("DAFOAM_TPU_TEST_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DAFOAM_TPU_TEST_CACHE_DIR",
+                                     "/tmp/jaxcache-tests"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
