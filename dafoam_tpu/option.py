@@ -97,6 +97,11 @@ _DEFAULTS: dict[str, Any] = {
         # frozen-on-convergence CG/BiCGStab step scans (stronger per-step
         # contraction; f64-safe only)
         "fpInnerSmoother": "linear",
+        # solve the fp-adjoint GMRES in normalized adjoint variables
+        # (similarity transform by normalizeStates scales — reference
+        # normalizeGradientVec semantics, DASolver.C:2356); exact, and
+        # lowers the f32 residual floor by balancing matvec noise
+        "fpNormalize": True,
         # step-map FIELD-relaxation overrides (adjoint linearization
         # only): field relaxation is an explicit blend that never enters
         # a residual, so any factor here keeps the primal's W* an exact

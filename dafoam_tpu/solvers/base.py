@@ -229,7 +229,8 @@ class DASolverBase:
                 relax=opt.get("fpRelaxation", 1.0),
                 accel=opt.get("fpAcceleration", "gmres"),
                 restart=opt["gmresRestart"], psi0=psi0,
-                deflate=int(opt.get("gmresDeflate", 0)))
+                deflate=int(opt.get("gmresDeflate", 0)),
+                scales=scales if opt.get("fpNormalize", True) else None)
         psi, info = adjsolver.adjoint_solve(
             res_fn, state, inputs, dJdW,
             state_scales=scales, res_scales=scales,
