@@ -88,6 +88,89 @@ def line_solver_T(m: FvMatrix, topo, geom, adi_sweeps=1):
     return solve
 
 
+def _solve_F(m: FvMatrix, r, topo, vol, symmetric=False, iters=15):
+    """Approximately solve (M/V) x = r:  M x = V r (forward twin of
+    _solve_T, for the UNtransposed linearized system dR/dW that
+    forward_total_derivative's tangent GMRES iterates)."""
+    d = m.diag if m.diag.ndim == r.ndim else m.diag[..., None]
+    td = guard_tiny(d.dtype)
+    dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
+
+    from dafoam_tpu.ops.fvmatrix import matvec_fn
+    mv = matvec_fn(m, topo)
+
+    def prec(x):
+        return dinv * x
+
+    solver = cg if symmetric else bicgstab
+    v = vol if r.ndim == 1 else vol[:, None]
+    z, _ = solver(mv, v * r, precond=prec, rel_tol=0.05, max_iters=iters)
+    return z
+
+
+def line_solver_F(m: FvMatrix, topo, geom, adi_sweeps=1):
+    """Line-implicit approximate inverse of (M/V) (forward twin of
+    line_solver_T). Returns None without a dense-DIA layout."""
+    from dafoam_tpu.linalg.lines import line_solver
+
+    base = line_solver(m, topo, adi_sweeps=adi_sweeps,
+                       matvec=matvec_fn(m, topo))
+    if base is None:
+        return None
+
+    def solve(r):
+        v = geom.vol if r.ndim == 1 else geom.vol[:, None]
+        return base(v * r)
+
+    return solve
+
+
+def build_forward_pc(mats: dict, topo, geom, opt: dict,
+                     identity_fields=("phi",)):
+    """Block preconditioner for the FORWARD linearized system dR/dW
+    (unscaled — forward_total_derivative solves it in raw residual form;
+    reference analog: the ADF build's tangent solve). Same per-equation
+    block approximation as build_pc, untransposed. Without it the
+    unpreconditioned tangent GMRES stalls (e.g. rho channel: 3000 iters
+    at rel 4.4e-8 vs target 1e-10 -> forward totals off at 5e-5, caught
+    by the adjoint/forward triangulation oracles)."""
+    pctype = opt.get("pcType", "segregated")
+    # default 2x the adjoint PC's budget (floor 30): BiCGStab's
+    # best-so-far on convection-dominated blocks (e.g. the rho-channel T
+    # equation) rides a nonsymmetric residual transient for ~20
+    # iterations before dropping — at 15 the best iterate is still the
+    # zero start and the block becomes a silent no-op (which then
+    # zeroes a GMRES basis vector and NaNs the solve)
+    iters = int(opt.get("pcFwdInnerIters",
+                        max(30, 2 * int(opt.get("pcInnerIters", 15)))))
+    blockinvs = {}
+    for k, (m, sym) in mats.items():
+        sv = None
+        if pctype in ("coupledLine", "lineJacobi"):
+            sv = line_solver_F(m, topo, geom,
+                               adi_sweeps=int(opt.get("pcADISweeps", 1)))
+        if sv is None:
+            def sv(r, m=m, sym=sym):
+                return _solve_F(m, r, topo, geom.vol, symmetric=sym,
+                                iters=iters)
+        blockinvs[k] = sv
+
+    # RAW-space PC (r -> ~A^-1 r); when forward_total_derivative solves
+    # the NORMALIZED tangent system, base.forward_total_derivative wraps
+    # this in the D_W^-1 o (.) o D_R scale adapters generically
+    def pc(r):
+        out = {}
+        for k, v in r.items():
+            if k in blockinvs:
+                v = blockinvs[k](v)
+            elif k in identity_fields:
+                v = -v
+            out[k] = v
+        return out
+
+    return pc
+
+
 def make_coupled_pc(blockinvs: dict, state_scales=None, sweeps=2,
                     identity_fields=("phi",)):
     """Coupled block-Gauss–Seidel preconditioner FACTORY.

@@ -201,23 +201,35 @@ def dJdW_of(func_fn: Callable, state, inputs):
 def forward_total_derivative(residual_fn: Callable, func_fn: Callable, state,
                              inputs, dx, linear_solve: Callable | None = None,
                              restart=60, rel_tol=1e-10, max_iters=2000,
-                             precond: Callable | None = None):
+                             precond: Callable | None = None,
+                             state_scales: dict | None = None,
+                             res_scales: dict | None = None):
     """Forward-mode total derivative (the reference's ADF cross-check,
     testFuncs.py:34-46): dW = -(dR/dW)^{-1} (pR/px dx); dJ = pJ/pW dW + pJ/px dx.
-    """
+
+    state_scales/res_scales: the SAME normalization the adjoint solve
+    uses (reference normalizeJacTVecProduct seeds both directions,
+    DASolver.C:1443): the tangent system is solved as
+    (D_R^-1 dR/dW D_W) y = D_R^-1 b, dW = D_W y. Without it the two AD
+    directions converge in DIFFERENT metrics and their totals disagree at
+    the scale-imbalance level (transonic: phi rows carry D ~ 1e-3 vs p
+    rows 1e5 -> adjoint/forward triangulation stuck at ~1e-5 no matter
+    how deep either solve converges)."""
     # b = pR/px dx
     _, b = jax.jvp(lambda x: residual_fn(state, x), (inputs,), (dx,))
 
     def mat(v):
-        _, jv = jax.jvp(lambda w: residual_fn(w, inputs), (state,), (v,))
-        return jv
+        w = _scale(v, state_scales)
+        _, jv = jax.jvp(lambda w_: residual_fn(w_, inputs), (state,), (w,))
+        return _scale(jv, res_scales, invert=True)
 
     if linear_solve is None:
-        dW_neg, info = gmres(mat, b, restart=restart, rel_tol=rel_tol,
-                             max_iters=max_iters, precond=precond)
+        y_neg, info = gmres(mat, _scale(b, res_scales, invert=True),
+                            restart=restart, rel_tol=rel_tol,
+                            max_iters=max_iters, precond=precond)
     else:
-        dW_neg, info = linear_solve(mat, b)
-    dW = jax.tree_util.tree_map(lambda a: -a, dW_neg)
+        y_neg, info = linear_solve(mat, _scale(b, res_scales, invert=True))
+    dW = jax.tree_util.tree_map(lambda a: -a, _scale(y_neg, state_scales))
 
     _, dJ_w = jax.jvp(lambda w: func_fn(w, inputs), (state,), (dW,))
     _, dJ_x = jax.jvp(lambda x: func_fn(state, x), (inputs,), (dx,))

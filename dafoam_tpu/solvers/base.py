@@ -213,7 +213,10 @@ class DASolverBase:
         opt = self.option["adjEqnOption"]
         geom = self.geometry(inputs)
         scales = self.state_scales(geom)
-        if precond is None and opt.get("pcType", "none") != "none":
+        # fp mode never uses the Krylov PC — dispatch BEFORE building it
+        # (pcType then only configures forward_total_derivative's PC)
+        if not self._fp_adjoint() and precond is None \
+                and opt.get("pcType", "none") != "none":
             precond = self.make_adjoint_pc(state, inputs)
         res_fn = lambda w, x: self._norm_residuals(w, x)  # noqa: E731
         if self._fp_adjoint():
@@ -341,16 +344,27 @@ class DASolverBase:
 
     def forward_total_derivative(self, state, inputs, func_name, dx):
         opt = self.option["adjEqnOption"]
+        # solve the tangent system in the SAME normalized metric as the
+        # adjoint (reference normalizeJacTVecProduct, DASolver.C:1443):
+        # otherwise the two AD directions converge in different norms and
+        # adjoint/forward triangulation floors at the scale-imbalance
+        # level (transonic phi rows: D ~ 1e-3 vs p rows 1e5 -> ~1e-5)
+        scales = self.state_scales(self.geometry(inputs))
         precond = None
         if opt.get("pcType", "none") != "none":
-            precond = self.make_forward_pc(state, inputs)
+            pc_raw = self.make_forward_pc(state, inputs)
+            if pc_raw is not None:
+                def precond(r):  # D_W^-1 o pc_raw o D_R adapter
+                    y = pc_raw(adjsolver._scale(r, scales))
+                    return adjsolver._scale(y, scales, invert=True)
         return adjsolver.forward_total_derivative(
             lambda w, x: self._norm_residuals(w, x),
             lambda w, x: self.eval_function(func_name, w, x),
             state, inputs, dx,
             restart=opt.get("gmresRestart", 60),
             max_iters=opt.get("gmresMaxIters", 2000),
-            precond=precond)
+            precond=precond,
+            state_scales=scales, res_scales=scales)
 
     # ------------------------------------------------------------------
     # jitted entry points (compile once per solver instance, reuse across

@@ -381,6 +381,22 @@ class DARhoSimpleFoam(DASolverBase):
         return build_pc(mats, self.topo, geom, self.state_scales(geom),
                         self.option["adjEqnOption"])
 
+    def make_forward_pc(self, state, inputs):
+        """Untransposed block PC for forward_total_derivative's tangent
+        GMRES (precond.build_forward_pc; without it the unpreconditioned
+        solve stalls at rel 4e-8 on the heated channel)."""
+        from dafoam_tpu.adjoint.precond import build_forward_pc
+
+        geom = self.geometry(inputs)
+        UEqn, U_bco = self._ueqn(state, inputs, geom, is_pc=True)
+        _, _, _, _, pM, _, _ = self._projection(state, inputs, geom, UEqn,
+                                                U_bco, state["U"])
+        TEqn, _ = self._teqn(state, inputs, geom)
+        mats = {"U": (UEqn, False), "p": (pM, not self.transonic),
+                "T": (TEqn, False)}
+        return build_forward_pc(mats, self.topo, geom,
+                                self.option["adjEqnOption"])
+
     # -- functions --------------------------------------------------------------
     def boundary_fields(self, state, inputs, geom):
         topo = self.topo

@@ -603,6 +603,24 @@ class DASimpleFoam(DASolverBase):
         return build_pc(mats, self.topo, geom, self.state_scales(geom),
                         self.option["adjEqnOption"])
 
+    def make_forward_pc(self, state, inputs):
+        """PC for the forward linearized system dR/dW (untransposed twin
+        of make_adjoint_pc; see precond.build_forward_pc)."""
+        from dafoam_tpu.adjoint.precond import build_forward_pc
+
+        geom = self.geometry(inputs)
+        UEqn, U_bco = self._ueqn(state, inputs, geom, is_pc=True)
+        _, _, _, _, pM, _ = self._projection(state, inputs, geom, UEqn,
+                                             U_bco, state["U"])
+        mats = {"U": (UEqn, False), "p": (pM, True)}
+        if self.turb.model_states:
+            U_b = bc.boundary_value(U_bco, state["U"], self.topo)
+            gradU = fvc.grad(geom, self.topo, state["U"], U_b)
+            mats.update(self.turb.pc_matrices(state, inputs, geom,
+                                              state["phi"], gradU))
+        return build_forward_pc(mats, self.topo, geom,
+                                self.option["adjEqnOption"])
+
     # ------------------------------------------------------------------
     # function context
     # ------------------------------------------------------------------

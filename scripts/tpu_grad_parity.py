@@ -58,8 +58,8 @@ def main():
                                first_cell=4e-3)
     uinf = [1.0, 0.0, 0.0]
     # tolerances scale with precision: f32 stalls near 1e-6 relative
-    tol = 1e-10 if x64 else 3e-7
-    gtol = 1e-9 if x64 else 1e-6
+    tol = float(os.environ.get("GRADPAR_TOL", "1e-10" if x64 else "3e-7"))
+    gtol = float(os.environ.get("GRADPAR_GTOL", "1e-9" if x64 else "1e-6"))
     opts = {
         "solverName": "DASimpleFoam",
         "turbulenceModel": "SpalartAllmaras",
@@ -103,9 +103,10 @@ def main():
             "gmresRestart": int(os.environ.get("GRADPAR_RESTART", "400")),
             "gmresMaxIters": int(os.environ.get("GRADPAR_ADJ_ITERS",
                                                 "3000")),
-            "pcType": ("none"
-                       if os.environ.get("GRADPAR_ADJ", "fp") == "fp"
-                       else "segregated")},
+            # fp mode ignores the Krylov PC (base.py dispatches before
+            # building it); "segregated" here also gives the SAME-STATE
+            # forward-AD check its forward block PC
+            "pcType": "segregated"},
         "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
                             "nuTilda": 3 * NU},
     }
@@ -131,6 +132,27 @@ def main():
     samples = {f"pt{int(surf[k])}_y": float(g[int(surf[k]), 1])
                for k in (5, 10, 20)}
 
+    # SAME-STATE adjoint-vs-forward-AD consistency (the reference's CI
+    # oracle, testFuncs.py:17-55): jvp along the fixed direction d at the
+    # SAME converged state — measures AD + linear-solve consistency
+    # alone. Cross-RUN gradient comparisons are contaminated by gradient
+    # sensitivity to the primal end state (measured: dCD/dpt moves ~1%
+    # between primal res 1e-10 and 1e-13 on this mesh), so this is the
+    # meaningful 1e-8-class number. GRADPAR_FWD=0 skips (extra solve).
+    fwd_check = None
+    if os.environ.get("GRADPAR_FWD", "1") == "1":
+        dvec = jnp.asarray(d, dtype=state["p"].dtype)
+        dxt = jax.tree_util.tree_map(jnp.zeros_like, inputs)
+        dxt["points"] = dvec
+        dJ_fwd, finfo = solver.forward_total_derivative(state, inputs,
+                                                        "CD", dxt)
+        fwd_check = {
+            "dcd_dir_forwardAD": float(dJ_fwd),
+            "fwd_converged": bool(finfo.converged),
+            "adj_vs_fwd_rel": float(abs(dcd_dir - float(dJ_fwd))
+                                    / max(abs(dcd_dir), 1e-300)),
+        }
+
     out = {
         "platform": jax.devices()[0].platform,
         "x64": x64,
@@ -146,6 +168,8 @@ def main():
         "adj_res": float(ai.resid),
         "adj_res0": float(ai.resid0),
     }
+    if fwd_check:
+        out.update(fwd_check)
     print(json.dumps(out))
 
 

@@ -57,6 +57,12 @@ def rho_pimple_case():
                                 "Pr": 0.7},
         "deltaT": 2e-4, "endTime": 1e-3,   # 5 steps
         "pimple": {"nOuterCorrectors": 20, "nCorrectors": 3},
+        # tight inner solves: loose tangent systems leak into the
+        # jvp triangulation (see test_pimple_unsteady note)
+        "primalLinearSolver": {"pMaxIters": 400, "pRelTol": 1e-12,
+                               "uMaxIters": 200, "uRelTol": 1e-12,
+                               "turbMaxIters": 100,
+                               "turbRelTol": 1e-11},
         "boundaryConditions": {
             "U": {"xmin": {"type": "fixedValue", "value": [UIN, 0.0, 0.0]},
                   "xmax": {"type": "zeroGradient"},
