@@ -167,6 +167,37 @@ def adjoint_solve_fp(step_fn: Callable, state, inputs, dJdW,
     return _scale(x, scales, invert=True), SolveInfo(it, r0, rn, rn <= tol)
 
 
+def forward_total_derivative_fp(step_fn: Callable, func_fn: Callable,
+                                state, inputs, dx, rel_tol=1e-6,
+                                abs_tol=1e-30, max_iters=1000, restart=60,
+                                deflate=0, scales: dict | None = None):
+    """Forward (tangent) twin of the fixed-point adjoint: solve
+    (I - dG/dW) dW = pG/px dx with the same deflated GMRES on the step
+    map, then dJ = pJ/pW dW + pJ/px dx. Converges wherever the fp
+    adjoint does (transposes share the spectrum) — the residual-form
+    tangent GMRES stalls on exactly the cases that motivated fp mode
+    (NACA-SA O-mesh: Krylov forward stalls at rel ~2e-3 / NaNs where
+    this converges to tolerance). scales: same normalized metric as
+    adjoint_solve_fp (here the conjugation is S^-1 dG S)."""
+    from dafoam_tpu.linalg.krylov import gmres
+
+    _, b = jax.jvp(lambda x: step_fn(state, x)[0], (inputs,), (dx,))
+    _, jvp_fn = jax.linearize(lambda w: step_fn(w, inputs)[0], state)
+
+    def mat(v):
+        g = jvp_fn(_scale(v, scales))
+        return jax.tree_util.tree_map(
+            lambda a, c: a - c, v, _scale(g, scales, invert=True))
+
+    y, info = gmres(mat, _scale(b, scales, invert=True),
+                    restart=restart, rel_tol=rel_tol, abs_tol=abs_tol,
+                    max_iters=max_iters, deflate=deflate)
+    dW = _scale(y, scales)
+    _, dJ_w = jax.jvp(lambda w: func_fn(w, inputs), (state,), (dW,))
+    _, dJ_x = jax.jvp(lambda x: func_fn(state, x), (inputs,), (dx,))
+    return dJ_w + dJ_x, info
+
+
 def total_derivative_fp(step_fn: Callable, func_fn: Callable, state,
                         inputs, psibar):
     """Fixed-point-mode totals: dJ/dx = pJ/px + psibar^T pG/px for every

@@ -251,11 +251,28 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
         d = m.diag[None, :]
     else:
         d = _diag_like(m, psi0)
-    td = guard_tiny(d.dtype)
-    dinv = 1.0 / jnp.where(jnp.abs(d) > td, d, 1.0)
 
     from dafoam_tpu.ops.fvmatrix import matvec_fn
     mv = matvec_fn(m, topo, component_major=cm)
+
+    # FROZEN approximate inverse: every smoother below is written
+    # strictly as  x = x0 + C(b - A x0)  with C built from a
+    # stop_gradient'ed copy of the matrix (and frozen internal defect
+    # matvecs), while the OUTER defect keeps the live matrix. All
+    # dropped derivative paths carry the defect factor (b - A x ~ R -> 0
+    # at a converged primal), so totals are unchanged at solver
+    # tolerance — but the reverse sweep no longer differentiates the
+    # PCR/Chebyshev coefficient algebra w.r.t. the matrix, which is
+    # numerically UNSTABLE: the live-C vjp of this step map differed by
+    # 30% (p/nuTilda rows) between eager and jit op orderings on the
+    # NACA-SA O-mesh (f64!), scattering fp-adjoint totals by ~2e-3
+    # across equally-converged solves. Frozen C is also a shorter tape.
+    sg = jax.lax.stop_gradient
+    msg = m._replace(diag=sg(m.diag), lower=sg(m.lower), upper=sg(m.upper))
+    mv_f = matvec_fn(msg, topo, component_major=cm)
+    d_f = sg(d)
+    td = guard_tiny(d_f.dtype)
+    dinv = 1.0 / jnp.where(jnp.abs(d_f) > td, d_f, 1.0)
 
     if smoother == "mg":
         # geometric-multigrid defect correction (linalg/mg.py): the same
@@ -267,43 +284,112 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
         # Scalar equations only (pressure), same rationale as "line".
         from dafoam_tpu.linalg import mg as mgmod
         if x0.ndim == 1 and mgmod.grid_structure(topo) is not None:
-            h = mgmod.build_hierarchy(m, topo)
+            h = mgmod.build_hierarchy(msg, topo)
             sweeps = max(1, min(2, int(round(n_iters / 15))))
-            x = x0
-            for _ in range(sweeps):
-                x = x + mgmod.vcycle(h, b - mv(x), omega=1.7)
+            r = b - mv(x0)           # live defect
+            c = mgmod.vcycle(h, r, omega=1.7)
+            for _ in range(sweeps - 1):
+                c = c + mgmod.vcycle(h, r - mv_f(c), omega=1.7)
+            x = x0 + c
             return x.T if cm else x
         smoother = "line"  # no grid form: fall through to ADI lines
 
     if smoother == "line":
-        from dafoam_tpu.linalg.lines import line_directions, line_solver
+        from dafoam_tpu.linalg.lines import line_directions
         # SCALAR equations only (pressure — where the stiffness lives):
         # the PCR vjp on (nlines, s, 3) momentum batches rematerializes
         # (.,3)-minor temps that XLA lays out T(8,128) with 42.7x padding
         # and OOMs HBM at bench scale; relaxed momentum is diagonally
         # dominant and the damped-Jacobi smoother contracts it fine.
         if x0.ndim == 1 and line_directions(topo):
-            lp = line_solver(m, topo)
+            # ALGORITHMIC transpose via linear_call: the mechanical AD
+            # transpose of the PCR recurrences is numerically unstable —
+            # measured 30% eager-vs-jit vjp differences (p/nuTilda rows)
+            # on the stretched NACA O-mesh in f64, scattering fp-adjoint
+            # totals ~2e-3 across equally-converged solves. The EXACT
+            # transpose of the defect-correction ADI composition
+            # F = L_n + (I - L_n M) F_{n-1} is the same algorithm on M^T
+            # with the direction order REVERSED (induction on n), each
+            # tridiagonal solved by the same forward-stable PCR.
+            from jax import custom_derivatives as _cd
+
+            from dafoam_tpu.linalg.lines import (apply_line_solve,
+                                                 build_line_solves)
+            from dafoam_tpu.ops.fvmatrix import matvec_fn as _mvfn
+            # linear_call residual operands must carry ZERO tangents:
+            # diag/lower/upper are already stop_gradient'ed above, but
+            # m.source is deliberately live (the defect path) — freeze a
+            # copy for the solve closures (they never read source)
+            msg_lc = msg._replace(source=sg(msg.source))
+            msgT = msg_lc._replace(lower=msg.upper, upper=msg.lower)
+
+            def _lp_fwd(mats, rr):
+                m1, _ = mats
+                sv = build_line_solves(m1, topo)
+                mv1 = _mvfn(m1, topo)
+                z = apply_line_solve(sv[0], m1.diag, rr)
+                for e in sv[1:]:
+                    z = z + apply_line_solve(e, m1.diag, rr - mv1(z))
+                return z
+
+            def _lp_T(mats, ct):
+                _, m2 = mats
+                sv = build_line_solves(m2, topo)
+                mv2 = _mvfn(m2, topo)
+                z = apply_line_solve(sv[-1], m2.diag, ct)
+                for e in reversed(sv[:-1]):
+                    z = z + apply_line_solve(e, m2.diag, ct - mv2(z))
+                return z
+
+            def lp(rr):
+                return _cd.linear_call(_lp_fwd, _lp_T, (msg_lc, msgT), rr)
+
             # one ADI sweep ~ a dozen matvec-equivalents; budget sweeps
             # against the requested smoother-iteration count
             sweeps = max(1, min(4, int(round(n_iters / 10))))
-            x = x0
-            for _ in range(sweeps):
-                x = x + lp(b - mv(x))
-            return x
+            r = b - mv(x0)           # live defect
+            c = lp(r)
+            for _ in range(sweeps - 1):
+                c = c + lp(r - mv_f(c))
+            return x0 + c
         smoother = "linear"  # vector eq / no dense-DIA layout: fall back
 
     if smoother == "linear":
-        r0 = b - mv(x0)
-        step_fn = chebyshev_steps if symmetric else jacobi_steps
-        x = x0 + step_fn(mv, dinv, r0, n_steps=int(n_iters))
+        r0 = b - mv(x0)              # live defect
+        if symmetric:
+            # certain Gershgorin bound for lam(D^-1 A) computed from the
+            # FROZEN matrix: the static 2.2 default assumes weak diagonal
+            # dominance, but non-orthogonal corrections push a few rows
+            # of the stretched O-mesh pressure operator past it — and a
+            # k-step Chebyshev polynomial evaluated OUTSIDE its target
+            # interval grows like cosh(k acosh(1+eps)): at k=80 a 10%
+            # spectrum excess amplifies those modes ~1e20, making the
+            # smoother (and its AD transpose) catastrophically
+            # cancellation-sensitive — measured as O(1) eager-vs-jit vjp
+            # differences at seam cells and ~2e-3 fp-adjoint totals
+            # scatter on the 48x16 NACA mesh.
+            ni = topo.n_internal
+            row_off = jnp.zeros(topo.n_cells, msg.diag.dtype)
+            row_off = row_off.at[topo.owner[:ni]].add(jnp.abs(msg.upper))
+            row_off = row_off.at[topo.neighbour].add(jnp.abs(msg.lower))
+            dabs = jnp.abs(msg.diag)
+            lam_hi = 1.0 + jnp.max(
+                row_off / jnp.maximum(dabs, guard_tiny(dabs.dtype)))
+            x = x0 + chebyshev_steps(mv_f, dinv, r0, n_steps=int(n_iters),
+                                     lam_max=1.05 * lam_hi)
+        else:
+            x = x0 + jacobi_steps(mv_f, dinv, r0, n_steps=int(n_iters))
         return x.T if cm else x
 
     def prec(r):
         return dinv * r
 
     stepper = cg_steps if symmetric else bicgstab_steps
-    x = stepper(mv, b, x0=x0, precond=prec, n_steps=int(n_iters))
+    # krylov smoother: frozen-matrix steps on the live defect
+    r0 = b - mv(x0)
+    c = stepper(mv_f, r0, x0=jnp.zeros_like(x0), precond=prec,
+                n_steps=int(n_iters))
+    x = x0 + c
     return x.T if cm else x
 
 

@@ -350,6 +350,19 @@ class DASolverBase:
         # adjoint/forward triangulation floors at the scale-imbalance
         # level (transonic phi rows: D ~ 1e-3 vs p rows 1e5 -> ~1e-5)
         scales = self.state_scales(self.geometry(inputs))
+        if self._fp_adjoint():
+            # tangent twin of the fp adjoint (same step map, same
+            # normalized metric, same deflated GMRES)
+            return adjsolver.forward_total_derivative_fp(
+                self._fp_step_fn(),
+                lambda w, x: self.eval_function(func_name, w, x),
+                state, inputs, dx,
+                rel_tol=opt.get("fpRelTol", 1e-6),
+                abs_tol=opt["gmresAbsTol"],
+                max_iters=opt.get("fpMaxIters", 1000),
+                restart=opt["gmresRestart"],
+                deflate=int(opt.get("gmresDeflate", 0)),
+                scales=scales if opt.get("fpNormalize", True) else None)
         precond = None
         if opt.get("pcType", "none") != "none":
             pc_raw = self.make_forward_pc(state, inputs)
