@@ -180,9 +180,13 @@ def forward_total_derivative_fp(step_fn: Callable, func_fn: Callable,
     this converges to tolerance). scales: same normalized metric as
     adjoint_solve_fp (here the conjugation is S^-1 dG S)."""
     from dafoam_tpu.linalg.krylov import gmres
+    from dafoam_tpu.ops.fvmatrix import no_pallas
 
-    _, b = jax.jvp(lambda x: step_fn(state, x)[0], (inputs,), (dx,))
-    _, jvp_fn = jax.linearize(lambda w: step_fn(w, inputs)[0], state)
+    # forward-mode trace of the step map: the Pallas DIA kernel is
+    # custom_vjp-only, so force jvp-capable XLA matvecs while tracing
+    with no_pallas():
+        _, b = jax.jvp(lambda x: step_fn(state, x)[0], (inputs,), (dx,))
+        _, jvp_fn = jax.linearize(lambda w: step_fn(w, inputs)[0], state)
 
     def mat(v):
         g = jvp_fn(_scale(v, scales))

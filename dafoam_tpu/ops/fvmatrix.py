@@ -115,6 +115,26 @@ def matvec(m: FvMatrix, psi: jnp.ndarray, topo) -> jnp.ndarray:
     return d * psi + offdiag_matvec(m, psi, topo)
 
 
+# trace-scoped Pallas kill switch: the Pallas DIA kernel is custom_vjp-
+# wrapped (reverse-AD only); code paths traced under FORWARD-mode AD
+# (jvp/linearize — e.g. forward_total_derivative_fp's tangent of the
+# whole step map) must build jvp-capable XLA matvecs instead
+_NO_PALLAS: list = []
+
+
+class no_pallas:
+    """Context manager: force matvec_fn(pallas=False) for closures built
+    while tracing (forward-mode-AD regions)."""
+
+    def __enter__(self):
+        _NO_PALLAS.append(True)
+        return self
+
+    def __exit__(self, *a):
+        _NO_PALLAS.pop()
+        return False
+
+
 def matvec_fn(m: FvMatrix, topo, pallas: bool = True,
               component_major: bool = False):
     """Return a matvec closure with the coefficient layout precomputed.
@@ -183,7 +203,7 @@ def matvec_fn(m: FvMatrix, topo, pallas: bool = True,
     from dafoam_tpu.ops import pallas_kernels as pk
     offs_t = tuple(int(o) for o in offsets.tolist())
     on_tpu = pk.HAVE_PALLAS and jax.default_backend() == "tpu"
-    use_pallas = pallas and d0.ndim == 1 and on_tpu \
+    use_pallas = pallas and not _NO_PALLAS and d0.ndim == 1 and on_tpu \
         and d0.dtype in (jnp.float32, jnp.dtype("float32"))
 
     if component_major:

@@ -65,19 +65,22 @@ def main():
     # the mode to ~1e-7 (measured, probe_jitpath/probe_rich studies)
     tol = float(os.environ.get("GRADPAR_TOL", "1e-10" if x64 else "3e-7"))
     gtol = float(os.environ.get("GRADPAR_GTOL", "1e-13" if x64 else "1e-6"))
+    turb = os.environ.get("GRADPAR_TURB", "SpalartAllmaras")
     opts = {
         "solverName": "DASimpleFoam",
-        "turbulenceModel": "SpalartAllmaras",
+        "turbulenceModel": turb,
         "transportProperties": {"nu": NU},
         "boundaryConditions": {
             "U": {"far": {"type": "inletOutlet", "value": uinf},
                   "wing": {"type": "fixedValue", "value": [0.0, 0.0, 0.0]}},
             "p": {"far": {"type": "fixedValue", "value": 0.0},
                   "wing": {"type": "zeroGradient"}},
-            "nuTilda": {"far": {"type": "inletOutlet", "value": 3 * NU},
-                        "wing": {"type": "fixedValue", "value": 0.0}},
+            **({"nuTilda": {"far": {"type": "inletOutlet", "value": 3 * NU},
+                        "wing": {"type": "fixedValue", "value": 0.0}}}
+           if turb != "None" else {}),
         },
-        "initialFields": {"U": uinf, "p": 0.0, "nuTilda": 3 * NU},
+        "initialFields": {"U": uinf, "p": 0.0,
+                          **({"nuTilda": 3 * NU} if turb != "None" else {})},
         "primalMinResTol": tol,
         "primalMaxIters": 3000,
         "relaxationFactors": {"fields": {"p": 0.2},
@@ -113,7 +116,8 @@ def main():
             # forward-AD check its forward block PC
             "pcType": "segregated"},
         "normalizeStates": {"U": 1.0, "p": 0.5, "phi": 1.0,
-                            "nuTilda": 3 * NU},
+                            **({"nuTilda": 3 * NU} if turb != "None"
+                               else {})},
     }
     solver = make_solver(opts, topo, pts)
     inputs = solver.make_inputs()
@@ -163,6 +167,7 @@ def main():
         "x64": x64,
         "dtype": str(state["p"].dtype),
         "mesh": f"{nw}x{nr}",
+        "turb": turb,
         "CD": cd,
         "dcd_dir": dcd_dir,
         "g_norm": float(np.linalg.norm(g)),
