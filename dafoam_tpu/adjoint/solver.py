@@ -44,7 +44,7 @@ def adjoint_solve(residual_fn: Callable, state, inputs, dJdW,
                   res_scales: dict | None = None,
                   precond: Callable | None = None,
                   restart=60, rel_tol=1e-6, abs_tol=1e-14, max_iters=1000,
-                  psi0=None, deflate=0):
+                  psi0=None, deflate=0, aug0=None, return_aug=False):
     """Solve dR/dW^T psi = dJ/dW matrix-free.
 
     residual_fn: W -> R (inputs closed over by caller or passed via lambda).
@@ -65,10 +65,17 @@ def adjoint_solve(residual_fn: Callable, state, inputs, dJdW,
 
     rhs = _scale(dJdW, state_scales)
     x0 = None if psi0 is None else _scale(psi0, res_scales)
+    if return_aug:
+        psi_scaled, info, U = gmres(matT, rhs, x0=x0, precond=precond,
+                                    restart=restart, rel_tol=rel_tol,
+                                    abs_tol=abs_tol, max_iters=max_iters,
+                                    deflate=deflate, aug0=aug0,
+                                    return_aug=True)
+        return _scale(psi_scaled, res_scales, invert=True), info, U
     psi_scaled, info = gmres(matT, rhs, x0=x0, precond=precond,
                              restart=restart, rel_tol=rel_tol,
                              abs_tol=abs_tol, max_iters=max_iters,
-                             deflate=deflate)
+                             deflate=deflate, aug0=aug0)
     psi = _scale(psi_scaled, res_scales, invert=True)
     return psi, info
 
@@ -76,7 +83,8 @@ def adjoint_solve(residual_fn: Callable, state, inputs, dJdW,
 def adjoint_solve_fp(step_fn: Callable, state, inputs, dJdW,
                      rel_tol=1e-6, abs_tol=1e-14, max_iters=1000,
                      relax=1.0, accel="gmres", restart=60, psi0=None,
-                     deflate=0, scales: dict | None = None):
+                     deflate=0, scales: dict | None = None,
+                     aug0=None, return_aug=False):
     """Solver-level FIXED-POINT adjoint on the primal STEP MAP (reference
     `adjEqnSolMethod: fixedPoint` -> runFPAdj block Gauss-Seidel,
     /root/reference/src/adjoint/DASolver/DASimpleFoam/DASimpleFoam.C:189,
@@ -128,11 +136,24 @@ def adjoint_solve_fp(step_fn: Callable, state, inputs, dJdW,
     if accel == "gmres":
         # deflate > 0: recycle the near-null directions of (I - dG^T)
         # (eigenvalues of dG near 1) across restarts — the stall class of
-        # restarted GMRES on fixed-point step maps (VERDICT r3 item 1)
+        # restarted GMRES on fixed-point step maps (VERDICT r3 item 1).
+        # aug0/return_aug: carry that recycle space ACROSS host-restarted
+        # calls too (chunked device calls stay short — the axon tunnel
+        # faults on very long single calls — without resetting deflation
+        # each chunk). U lives in the SCALED flat space; scales are
+        # state-geometry constants, identical across chunks.
+        if return_aug:
+            y, info, U = gmres(
+                matv, _scale(dJdW, scales),
+                x0=None if psi0 is None else _scale(psi0, scales),
+                restart=restart, rel_tol=rel_tol, abs_tol=abs_tol,
+                max_iters=max_iters, deflate=deflate, aug0=aug0,
+                return_aug=True)
+            return _scale(y, scales, invert=True), info, U
         y, info = gmres(matv, _scale(dJdW, scales),
                         x0=None if psi0 is None else _scale(psi0, scales),
                         restart=restart, rel_tol=rel_tol, abs_tol=abs_tol,
-                        max_iters=max_iters, deflate=deflate)
+                        max_iters=max_iters, deflate=deflate, aug0=aug0)
         return _scale(y, scales, invert=True), info
 
     # Richardson (reference-parity plain sweeps), in the same transformed
@@ -164,7 +185,9 @@ def adjoint_solve_fp(step_fn: Callable, state, inputs, dJdW,
 
     x, r, rn, it = jax.lax.while_loop(
         cond, body, (x0, r0_tree, r0, jnp.asarray(0)))
-    return _scale(x, scales, invert=True), SolveInfo(it, r0, rn, rn <= tol)
+    out = _scale(x, scales, invert=True), SolveInfo(it, r0, rn, rn <= tol)
+    # richardson has no Krylov recycle space; pass aug0 through unchanged
+    return (*out, aug0) if return_aug else out
 
 
 def forward_total_derivative_fp(step_fn: Callable, func_fn: Callable,

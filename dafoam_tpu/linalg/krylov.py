@@ -403,7 +403,7 @@ def chebyshev_steps(matvec: Callable, dinv, r0, n_steps=20,
 
 def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
           restart=60, rel_tol=1e-6, abs_tol=1e-14, max_iters=1000,
-          deflate=0):
+          deflate=0, aug0=None, return_aug=False):
     """Flexible right-preconditioned restarted GMRES (FGMRES) on a pytree.
 
     Matches the role of the reference's KSPGMRES setup
@@ -474,12 +474,19 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
             V, Z, H, cs, sn, g, k, done = carry
             if k_defl > 0:
                 # augmented columns: recycle directions from U (zero rows
-                # of a not-yet-seeded U fall back to the Krylov vector)
+                # of a not-yet-seeded U fall back to the Krylov vector).
+                # U rows are SOLUTION-space directions (extracted from the
+                # previous cycle's Z span), so they enter the augmented
+                # basis verbatim — re-preconditioning them (z = M(u))
+                # would drift the recycle space away from the extracted
+                # near-null directions of A each cycle (GCRO-DR).
                 u = U[jnp.maximum(j - m_arn, 0)]
                 unorm = jnp.linalg.norm(u)
                 use_u = jnp.logical_and(j >= m_arn, unorm > _tiny(unorm))
-                zdir = jnp.where(use_u, u, V[j])
-                z = mprec_flat(zdir) if flexible else zdir
+                if flexible:
+                    z = jnp.where(use_u, u, mprec_flat(V[j]))
+                else:
+                    z = jnp.where(use_u, u, V[j])
             else:
                 z = mprec_flat(V[j]) if flexible else V[j]
             if store_z:
@@ -545,8 +552,14 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
             eye = jnp.eye(m, dtype=dtype)
             A_small = jnp.where(used[None, :] & used[:, None], A_small, eye)
             G = jnp.where(used[None, :] & used[:, None], G, eye)
-            # guard: G must be SPD; add a tiny ridge for safety
-            G = G + 1e-12 * eye
+            # guard: G must be SPD; ridge scaled to the dtype and the
+            # Gram magnitude (a fixed 1e-12 is below f32 epsilon — the
+            # TPU bench dtype — so near-dependent basis columns could
+            # still NaN the cholesky exactly on the ill-conditioned
+            # cases deflation targets)
+            ridge = (jnp.sqrt(jnp.finfo(dtype).eps)
+                     * jnp.trace(G) / jnp.asarray(m, dtype))
+            G = G + jnp.maximum(ridge, jnp.asarray(1e-30, dtype)) * eye
             L = jnp.linalg.cholesky(G)
             Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
             Aw = Li @ A_small @ Li.T
@@ -569,9 +582,16 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
         x, U, res, done, k = arnoldi_cycle(x, U)
         return x, U, res, it + k, res <= tol
 
-    U0 = jnp.zeros((max(k_defl, 1), n), dtype=dtype)
+    # aug0: recycle space carried in from a PREVIOUS gmres call (host-
+    # restarted chunked solves — e.g. bench fp-adjoint cycles): without
+    # it, every host-level restart re-derives the near-null directions
+    # from scratch and the deflation benefit resets per chunk.
+    U0 = (jnp.zeros((max(k_defl, 1), n), dtype=dtype) if aug0 is None
+          else jnp.asarray(aug0, dtype=dtype).reshape(max(k_defl, 1), n))
     r0 = jnp.linalg.norm(flat_b - mvA_flat(x))
     x, U, res, it, done = jax.lax.while_loop(
         cond, body, (x, U0, r0, jnp.asarray(0), r0 <= tol))
 
+    if return_aug:
+        return unravel(x), SolveInfo(it, r0, res, res <= tol), U
     return unravel(x), SolveInfo(it, r0, res, res <= tol)

@@ -204,7 +204,7 @@ class DASolverBase:
         return None
 
     def solve_adjoint_rhs(self, state, inputs, dJdW, psi0=None,
-                          precond=None):
+                          precond=None, aug0=None, return_aug=False):
         """Solve dR/dW^T psi = dJdW for a caller-supplied RHS pytree.
 
         This is the MPhys ``solve_linear`` contract (reference
@@ -233,22 +233,24 @@ class DASolverBase:
                 accel=opt.get("fpAcceleration", "gmres"),
                 restart=opt["gmresRestart"], psi0=psi0,
                 deflate=int(opt.get("gmresDeflate", 0)),
-                scales=scales if opt.get("fpNormalize", True) else None)
-        psi, info = adjsolver.adjoint_solve(
+                scales=scales if opt.get("fpNormalize", True) else None,
+                aug0=aug0, return_aug=return_aug)
+        return adjsolver.adjoint_solve(
             res_fn, state, inputs, dJdW,
             state_scales=scales, res_scales=scales,
             precond=precond,
             restart=opt["gmresRestart"], rel_tol=opt["gmresRelTol"],
             abs_tol=opt["gmresAbsTol"], max_iters=opt["gmresMaxIters"],
-            psi0=psi0, deflate=int(opt.get("gmresDeflate", 0)))
-        return psi, info
+            psi0=psi0, deflate=int(opt.get("gmresDeflate", 0)),
+            aug0=aug0, return_aug=return_aug)
 
     def solve_adjoint(self, state, inputs, func_name, psi0=None,
-                      precond=None):
+                      precond=None, aug0=None, return_aug=False):
         dJdW = jax.grad(
             lambda w: self.eval_function(func_name, w, inputs))(state)
         return self.solve_adjoint_rhs(state, inputs, dJdW, psi0=psi0,
-                                      precond=precond)
+                                      precond=precond, aug0=aug0,
+                                      return_aug=return_aug)
 
     def _fp_step_fn(self):
         """The differentiable step map the fixed-point adjoint uses.

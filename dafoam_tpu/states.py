@@ -68,6 +68,11 @@ class StateLayout:
             self.offsets[name] = off
             off += sz
         self.n_states = off
+        if ordering == "cell":
+            # state-major offsets are MEANINGLESS under cell ordering
+            # (components interleave per cell) — fail loudly on misuse
+            # instead of silently slicing wrong positions
+            self.offsets = None
         # cell ordering: per-cell component count of the cell-block
         self.cell_comps = sum(3 if kind == "vector" else 1
                               for _, kind in info.ordered if kind != "face")

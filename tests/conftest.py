@@ -40,6 +40,28 @@ if os.environ.get("DAFOAM_TPU_TEST_CACHE", "1") != "0":
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """slow-marked tests are OPT-IN (DAFOAM_TPU_RUN_SLOW=1).
+
+    Two reasons: (a) suite wall-clock (VERDICT r3 item 5 — the 110k-cell
+    and end-to-end-optimization cases cost tens of minutes each on this
+    1-core CPU box); (b) XLA:CPU aborts ('Fatal Python error: Aborted'
+    inside apply_primitive) when the 110k-cell trace lands in a process
+    that already accumulated a few hundred compiled executables — each
+    slow test passes standalone, mirroring the documented
+    backend_compile segfault class this conftest's per-module
+    cache-clear bounds but does not eliminate. Run them isolated:
+      DAFOAM_TPU_RUN_SLOW=1 python -m pytest tests/test_sharding.py ...
+    """
+    if os.environ.get("DAFOAM_TPU_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: set DAFOAM_TPU_RUN_SLOW=1 "
+                                   "(run slow tests standalone)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """XLA:CPU segfaults inside backend_compile after a few hundred

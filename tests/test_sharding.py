@@ -158,6 +158,10 @@ def test_halo_parity_100k_cells():
     from dafoam_tpu.parallel import halo
     from dafoam_tpu.parallel.shard import shard_solver
 
+    # drop executables accumulated by earlier tests BEFORE the 110k-cell
+    # trace: XLA:CPU aborts on this trace in a loaded process (see
+    # conftest.pytest_collection_modifyitems)
+    jax.clear_caches()
     assert len(jax.devices()) >= 8
     pts, topo = box_hex_mesh(384, 288, 1, (0.1, 0.1, 0.01),
                              kinds={"zmin": "empty", "zmax": "empty",
