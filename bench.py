@@ -160,11 +160,16 @@ def run_naca(nw, nr, iters):
             "fpRelTol": float(os.environ.get("BENCH_FP_TOL", "1e-6")) * 0.3,
             "fpMaxIters": int(os.environ.get("BENCH_FP_CHUNK", "240")),
             "fpInnerScale": float(os.environ.get("BENCH_FP_SCALE", "0.4")),
-            # line smoother: ADI line solves inside the step map keep
-            # rho(dG) at the ideal SIMPLE rate at scale (see
-            # fvsolve.solve_fixed) — with Jacobi/Chebyshev smoothers the
-            # 512x512 adjoint GMRES stalls near rel 1e-2
-            "fpInnerSmoother": os.environ.get("BENCH_FP_SMOOTHER", "line"),
+            # mg smoother: geometric-multigrid V-cycle defect correction
+            # inside the step map (linalg/mg.py) — grid-independent
+            # contraction. Measured on-chip at 512x512 (round 5, with
+            # the live-Jacobi momentum scans): mg converges the adjoint
+            # in 7,200 iters / 184 s where the ADI "line" smoother needs
+            # 14,400 / 387 s (and with the frozen momentum scans of the
+            # round-4 tail commits, line stalled outright at rel 1.4e-2
+            # — scripts/adjoint_exp_r5.py A/B studies). Jacobi/Chebyshev
+            # smoothers stall near rel 1e-2 at this scale.
+            "fpInnerSmoother": os.environ.get("BENCH_FP_SMOOTHER", "mg"),
             # step-map FIELD-relaxation override (exact: alpha_p is an
             # explicit blend outside every residual, so the primal's W*
             # stays a fixed point for any alpha_p and totals are
@@ -265,10 +270,10 @@ def run_naca(nw, nr, iters):
     # GMRES cycles on the step map, host-restarted from the previous
     # psibar until ||r|| / ||r0_global|| < BENCH_FP_TOL
     fp_tol = float(os.environ.get("BENCH_FP_TOL", "1e-6"))
-    # 512x512 with deflate=16 + line smoother + alpha_p 0.7 step map
-    # passes rel 1e-6 in ~15-18k iters on-chip (27 ms/iter avg incl.
-    # host restarts); leave headroom
-    fp_max = int(os.environ.get("BENCH_FP_ITERS", "22000"))
+    # 512x512 with deflate=16 + mg smoother + alpha_p 0.7 step map
+    # passes rel 1e-6 in ~7,200 iters on-chip (25-27 ms/iter incl. host
+    # restarts — round-5 live-Jacobi step map); leave headroom
+    fp_max = int(os.environ.get("BENCH_FP_ITERS", "16000"))
     _mark(f"primal timed: {t_primal:.2f}s; compiling adjoint")
     inputs_c = jax.tree_util.tree_map(jnp.asarray, inputs)
     # recycle space threads through host restarts (aug0 in / U out), so

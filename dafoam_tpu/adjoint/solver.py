@@ -84,7 +84,7 @@ def adjoint_solve_fp(step_fn: Callable, state, inputs, dJdW,
                      rel_tol=1e-6, abs_tol=1e-14, max_iters=1000,
                      relax=1.0, accel="gmres", restart=60, psi0=None,
                      deflate=0, scales: dict | None = None,
-                     aug0=None, return_aug=False):
+                     aug0=None, return_aug=False, remat=False):
     """Solver-level FIXED-POINT adjoint on the primal STEP MAP (reference
     `adjEqnSolMethod: fixedPoint` -> runFPAdj block Gauss-Seidel,
     /root/reference/src/adjoint/DASolver/DASimpleFoam/DASimpleFoam.C:189,
@@ -120,7 +120,19 @@ def adjoint_solve_fp(step_fn: Callable, state, inputs, dJdW,
     """
     from dafoam_tpu.linalg.krylov import SolveInfo, gmres, tnorm
 
-    _, f_vjp = jax.vjp(lambda w: step_fn(w, inputs)[0], state)
+    _fwd = lambda w: step_fn(w, inputs)[0]  # noqa: E731
+    if remat:
+        # adjEqnOption.fpRemat: rematerialize the step map inside each
+        # transpose product instead of storing its full vjp residual
+        # tape. On the 512x512 bench chip the materialized tape is
+        # layout-hostile ((.,3)-minor face/cell vector temps tile
+        # T(8,128) at 42.7x padding) and re-reading it dominates the
+        # in-loop product cost: measured 99.6 ms/product stored-tape vs
+        # 86.2 ms rematerialized (scripts/adjoint_exp_r5.py loopvjp),
+        # both far above the 35 ms fully-fused standalone product. Remat
+        # also frees the tape's HBM (enables larger gmresRestart).
+        _fwd = jax.checkpoint(_fwd)
+    _, f_vjp = jax.vjp(_fwd, state)
 
     def matv(v):
         (g,) = f_vjp(v)

@@ -9,6 +9,7 @@ CG, asymmetric (momentum/turbulence) to BiCGStab.
 from __future__ import annotations
 
 import contextlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -378,7 +379,20 @@ def solve_fixed(m: FvMatrix, psi0, topo, symmetric=False, n_iters=20,
             x = x0 + chebyshev_steps(mv_f, dinv, r0, n_steps=int(n_iters),
                                      lam_max=1.05 * lam_hi)
         else:
-            x = x0 + jacobi_steps(mv_f, dinv, r0, n_steps=int(n_iters))
+            # LIVE matrix in the damped-Jacobi scan (momentum/turbulence
+            # equations). The round-4 freeze (mv_f) was motivated by the
+            # PCR/Chebyshev COEFFICIENT-algebra vjp instability — which
+            # does not exist here: the Jacobi polynomial's matrix
+            # dependence is plain bilinear products (dinv stays frozen).
+            # Freezing this scan cost 4x on the TPU bench: the frozen
+            # replay de-fuses in the fp-GMRES while_loop body and the
+            # per-product cost went 27 -> 110 ms at 512x512; live
+            # restores 24.9 ms (scripts/adjoint_exp_r5.py, r5 A/B).
+            # FVSOLVE_FROZEN_JACOBI=1 restores the frozen variant for
+            # experiments.
+            _frozen = os.environ.get("FVSOLVE_FROZEN_JACOBI", "0") == "1"
+            x = x0 + jacobi_steps(mv_f if _frozen else mv, dinv, r0,
+                                  n_steps=int(n_iters))
         return x.T if cm else x
 
     def prec(r):

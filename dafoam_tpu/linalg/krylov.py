@@ -588,6 +588,26 @@ def gmres(matvec: Callable, b, x0=None, precond: Callable | None = None,
     # from scratch and the deflation benefit resets per chunk.
     U0 = (jnp.zeros((max(k_defl, 1), n), dtype=dtype) if aug0 is None
           else jnp.asarray(aug0, dtype=dtype).reshape(max(k_defl, 1), n))
+    if aug0 is not None and k_defl > 0:
+        # re-orthonormalize the carried-in recycle space (ADVICE r4):
+        # rows harvested from successive chunks can grow near-parallel
+        # (each harvest re-extracts the same dominant near-null
+        # directions), and a degenerate augmented basis collapses the
+        # effective search space — the recycle locks onto its own span
+        # and the outer iteration stalls. One 16x16 Gram + Cholesky
+        # whitening keeps the span but restores full rank; rows that are
+        # numerically dependent (tiny Cholesky pivots) are zeroed, which
+        # the in-cycle unorm guard then treats as unseeded.
+        Gu = U0 @ U0.T
+        ridge0 = jnp.sqrt(jnp.finfo(dtype).eps) * (
+            jnp.trace(Gu) / jnp.asarray(max(k_defl, 1), dtype) + 1e-30)
+        Lu = jnp.linalg.cholesky(Gu + ridge0 *
+                                 jnp.eye(max(k_defl, 1), dtype=dtype))
+        Uw = jax.scipy.linalg.solve_triangular(
+            Lu, U0, lower=True)
+        U0 = jnp.where(jnp.isfinite(Uw), Uw, 0.0)
+        rn = jnp.linalg.norm(U0, axis=1, keepdims=True)
+        U0 = jnp.where(rn > _tiny(rn), U0 / jnp.maximum(rn, _tiny(rn)), 0.0)
     r0 = jnp.linalg.norm(flat_b - mvA_flat(x))
     x, U, res, it, done = jax.lax.while_loop(
         cond, body, (x, U0, r0, jnp.asarray(0), r0 <= tol))

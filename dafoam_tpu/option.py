@@ -102,6 +102,13 @@ _DEFAULTS: dict[str, Any] = {
         # normalizeGradientVec semantics, DASolver.C:2356); exact, and
         # lowers the f32 residual floor by balancing matvec noise
         "fpNormalize": True,
+        # rematerialize the step map inside each fp-GMRES transpose
+        # product (jax.checkpoint) instead of storing its vjp residual
+        # tape: on TPU the stored tape's (.,3)-minor vector temps tile
+        # T(8,128) at 42.7x padding and re-reading them dominates the
+        # per-iteration cost (measured 99.6 -> 86.2 ms/product at
+        # 512x512, scripts/adjoint_exp_r5.py); also frees the tape's HBM
+        "fpRemat": False,
         # step-map FIELD-relaxation overrides (adjoint linearization
         # only): field relaxation is an explicit blend that never enters
         # a residual, so any factor here keeps the primal's W* an exact

@@ -234,7 +234,8 @@ class DASolverBase:
                 restart=opt["gmresRestart"], psi0=psi0,
                 deflate=int(opt.get("gmresDeflate", 0)),
                 scales=scales if opt.get("fpNormalize", True) else None,
-                aug0=aug0, return_aug=return_aug)
+                aug0=aug0, return_aug=return_aug,
+                remat=bool(opt.get("fpRemat", False)))
         return adjsolver.adjoint_solve(
             res_fn, state, inputs, dJdW,
             state_scales=scales, res_scales=scales,
