@@ -121,9 +121,64 @@ def main():
     }
     solver = make_solver(opts, topo, pts)
     inputs = solver.make_inputs()
-    state, info = solver.run_primal(solver.init_state(), inputs)
+    # GRADPAR_CHUNK: host-chunked device calls (axon-tunnel safety — a
+    # single multi-thousand-iteration x64-emulated device call crashes
+    # the TPU worker; same fault class the bench supervisor handles).
+    # Chunks the primal into fixed-iteration calls with a host-side
+    # residual exit, and the fp adjoint into psi0/aug-threaded cycles.
+    chunk = int(os.environ.get("GRADPAR_CHUNK", "0"))
+    if chunk > 0:
+        solver.option.set("primalMinIters", chunk)
+        solver.option.set("primalMaxIters", chunk)
+        solver.option.set("primalMinResTol", 0.0)
+        state = solver.init_state()
+        max_p = 6000
+        n = 0
+        while n < max_p:
+            state, info = solver.run_primal(state, inputs)
+            n += int(info.iters)
+            print(f"[gradpar] primal @{n}: res={float(info.max_res):.3e}",
+                  file=sys.stderr, flush=True)
+            if float(info.max_res) < tol:
+                break
+    else:
+        state, info = solver.run_primal(solver.init_state(), inputs)
     cd = float(solver.run_function("CD", state, inputs))
-    psi, ai = solver.run_adjoint("CD", state, inputs)
+    if chunk > 0 and opts["adjEqnSolMethod"] == "fixedPoint":
+        import jax.flatten_util  # noqa: F401
+        solver.option.set("adjEqnOption.fpMaxIters", chunk)
+        n_defl = max(int(solver.option["adjEqnOption"].get(
+            "gmresDeflate", 0)), 1)
+        n_flat = sum(int(jnp.size(v)) for v in state.values())
+        aug = jnp.zeros((n_defl, n_flat), state["p"].dtype)
+        psi, n, r0g, rel = None, 0, None, float("inf")
+        max_a = int(os.environ.get("GRADPAR_ADJ_ITERS", "6000"))
+        stall = 0
+        while n < max_a:
+            psi, ai, aug = solver.solve_adjoint(state, inputs, "CD",
+                                                psi0=psi, aug0=aug,
+                                                return_aug=True)
+            n += int(ai.iters)
+            r0g = float(ai.resid0) if r0g is None else r0g
+            rel_prev, rel = rel, float(ai.resid) / max(r0g, 1e-300)
+            print(f"[gradpar] adj @{n}: rel={rel:.3e}",
+                  file=sys.stderr, flush=True)
+            if rel < gtol:
+                break
+            # floor exit: chunked restarts stop making progress (e.g.
+            # the x64-on-TPU emulation floors near 4e-13 while the CPU
+            # gtol is 1e-13) — accept the floor rather than spinning
+            # device calls; the achieved rel is reported in the JSON
+            stall = stall + 1 if rel > 0.5 * rel_prev else 0
+            if stall >= 2:
+                print(f"[gradpar] adj floored at rel={rel:.3e} "
+                      f"(accepting)", file=sys.stderr, flush=True)
+                break
+        from dafoam_tpu.linalg.krylov import SolveInfo
+        ai = SolveInfo(jnp.asarray(n), jnp.asarray(r0g),
+                       jnp.asarray(rel * r0g), jnp.asarray(rel < gtol))
+    else:
+        psi, ai = solver.run_adjoint("CD", state, inputs)
     tot = solver.run_totals("CD", state, inputs, psi)
     g = np.asarray(tot["points"], dtype=np.float64)
 
