@@ -125,11 +125,13 @@ def run_naca(nw, nr, iters):
         # outer count is RELAXATION-limited, not pressure-solve-limited:
         # a multigrid pressure PC left it at 7,800 outers / 136 s vs
         # Jacobi-CG's 7,500 / 106 s): p=0.3/U=0.7 converges the PRIMAL
-        # 2x faster (3,900 outers / 55.8 s) but its fixed-point ADJOINT
-        # plateaus at rel ~5e-3 (the aggressively-relaxed step map has
-        # near-unit modes at the f32-floor state, with alpha_p override
-        # 0.7 AND 0.4) — the conservative factors win on TOTAL time
-        # because only they let the adjoint finish.
+        # 2x faster (3,900 outers / 55.7 s) but its fixed-point ADJOINT
+        # cannot reach the 1e-6 bar — round 4 (line smoother) plateaued
+        # at rel ~5e-3; round 5 (mg smoother + live-Jacobi step map)
+        # converges fast to ~1.5e-5 and then HARD-FLOORS there (flat
+        # 5,000+ iters: the U=0.7 map amplifies f32 vjp noise at its
+        # res-7e-4 exit state). The conservative factors win on TOTAL
+        # time because only they let the adjoint finish.
         "relaxationFactors": {
             "fields": {"p": float(os.environ.get("BENCH_PRELAX", "0.2"))},
             "equations": {
