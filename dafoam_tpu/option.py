@@ -125,9 +125,13 @@ _DEFAULTS: dict[str, Any] = {
     "transonicPCOption": -1,
     # ---- unsteady ----------------------------------------------------------
     "unsteadyAdjoint": {
+        # mode "hybrid" = time-spectral / harmonic balance (reference
+        # pyDAFoam.py:398-409 declares it with nTimeInstances/
+        # periodicity; solvers/time_spectral.py implements it)
         "mode": "None", "PCMatPrecomputeInterval": 100,
         "PCMatUpdateInterval": 1, "readZeroFields": True,
         "additionalOutput": [], "reduceIO": True,
+        "nTimeInstances": 3, "periodicity": 1.0,
     },
     "ddtScheme": "steadyState",   # steadyState | Euler | backward
     "deltaT": 1.0,

@@ -12,6 +12,7 @@ from dafoam_tpu.solvers.pimple_dym import DAPimpleDyMFoam
 from dafoam_tpu.solvers.inter import DAInterFoam
 from dafoam_tpu.solvers.irk_pimple import DAIrkPimpleFoam
 from dafoam_tpu.solvers.hisa import DAHisaFoam
+from dafoam_tpu.solvers.time_spectral import DATimeSpectralScalarFoam
 
 _SOLVER_REGISTRY = {}
 
@@ -27,6 +28,18 @@ def make_solver(option, topo, points):
     from dafoam_tpu.option import DAOption
     opt = option if isinstance(option, DAOption) else DAOption(option)
     name = opt["solverName"]
+    # reference option surface: unsteadyAdjoint mode "hybrid" selects the
+    # time-spectral (harmonic balance) formulation for solvers that have
+    # one (pyDAFoam.py:398-409 declares the mode; solvers/time_spectral
+    # implements it)
+    if opt["unsteadyAdjoint"].get("mode") == "hybrid":
+        ts_map = {"DAScalarTransportFoam": "DATimeSpectralScalarFoam"}
+        if name in ts_map:
+            name = ts_map[name]
+        elif name not in set(ts_map.values()):
+            raise NotImplementedError(
+                f"unsteadyAdjoint mode 'hybrid' (time-spectral) is "
+                f"implemented for {sorted(ts_map)} only, not {name!r}")
     if name not in _SOLVER_REGISTRY:
         raise KeyError(f"unknown solver {name!r}; have {list(_SOLVER_REGISTRY)}")
     layout = opt.get("meshFaceLayout", "auto")
@@ -49,7 +62,8 @@ def make_solver(option, topo, points):
 for _c in (DAScalarTransportFoam, DAHeatTransferFoam, DASimpleFoam,
            DAPimpleFoam, DASolidDisplacementFoam, DARhoSimpleFoam,
            DARhoSimpleCFoam, DATurboFoam, DATopoChtFoam, DARhoPimpleFoam,
-           DAPimpleDyMFoam, DAInterFoam, DAIrkPimpleFoam, DAHisaFoam):
+           DAPimpleDyMFoam, DAInterFoam, DAIrkPimpleFoam, DAHisaFoam,
+           DATimeSpectralScalarFoam):
     register_solver(_c)
 
 __all__ = ["DASolverBase", "PrimalInfo", "DAScalarTransportFoam",
