@@ -79,6 +79,7 @@ def _case(n_inst=5, amp=AMP):
     return solver, inputs
 
 
+@pytest.mark.slow
 def test_ts_primal_matches_time_accurate_limit_cycle():
     solver, inputs = _case(n_inst=5)
     st, info = solver.run_primal(solver.init_state(), inputs)
